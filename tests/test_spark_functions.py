@@ -1,0 +1,161 @@
+"""Column-expression and pandas-UDF implementations must agree with the
+pure-Python kernel on a battery of adversarial inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ufo_dedup_spark import kernel
+from ufo_dedup_spark.functions import normalize as N
+from ufo_dedup_spark.functions.similarity import (
+    similarity_udf,
+    tier3_score_udf,
+    token_jaccard_udf,
+)
+
+CITY_CASES = [
+    "phoenix", "PHOENIX", "Springfield (North)", "Phoenix?", "Phoenix.",
+    "Phoenix!", "San  Francisco", "  Phoenix  ", "", None,
+    "Springfield (IL)?", "São Paulo", "   ", "(North) Springfield",
+    "A (B) (C)", "city...", "x?!.", "no parens (here) trailing",
+]
+
+RAW_TEXT_CASES = [
+    "Phoenix, AZ", "Phoenix, AZ?", "San Francisco, CA", "Toronto, ON",
+    "London, XX", "Phoenix AZ", "Phoenix, AZZ", "", None, "phoenix, az",
+    "  Phoenix ,  AZ  ", "St. Louis, MO", ", AZ", "Unknown location somewhere",
+]
+
+DESC_CASES = [
+    "NUFORC UFO Sighting 12345 Bright light seen",
+    "Bright light seen",
+    "NUFORC UFO Sighting description here",
+    "NUFORC UFO Sighting 99999",
+    "Submitted by razor via e-mail foo bar Investigator Notes: The witness saw a light.",
+    "Submitted by razor via e-mail stuff Investigators Note: Actual content here.",
+    "Regular MUFON description",
+    "Submitted by razor via e-mail with nothing useful",
+    "X" * 61 + "Submitted by razor via e-mail Investigator Notes: Content",
+    "Submitted by razor via e-mail. Investigator Notes: Found this.",
+    "multi\nline\ntext Investigator Notes: tail\nwith newline",
+]
+
+
+def _one_col_results(spark, cases, col_expr):
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    return [r["out"] for r in df.select(col_expr(F.col("v")).alias("out")).collect()]
+
+
+def test_normalize_city_col_matches_kernel(spark):
+    got = _one_col_results(spark, CITY_CASES, N.normalize_city_col)
+    expected = [kernel.normalize_city(c) for c in CITY_CASES]
+    assert got == expected
+
+
+def test_parse_ufosearch_cols_match_kernel(spark):
+    df = spark.createDataFrame([(c,) for c in RAW_TEXT_CASES], "v string")
+    got = df.select(
+        N.parse_ufosearch_city_col(F.col("v")).alias("city"),
+        N.parse_ufosearch_state_col(F.col("v")).alias("state"),
+    ).collect()
+    expected = [kernel.parse_ufosearch_city_state(c) for c in RAW_TEXT_CASES]
+    assert [(r["city"], r["state"]) for r in got] == expected
+
+
+@pytest.mark.parametrize(
+    "col_fn,kernel_fn",
+    [
+        (N.strip_nuforc_prefix_col, kernel.strip_nuforc_prefix),
+        (N.strip_mufon_boilerplate_col, kernel.strip_mufon_boilerplate),
+    ],
+)
+def test_strip_cols_match_kernel(spark, col_fn, kernel_fn):
+    got = _one_col_results(spark, DESC_CASES, col_fn)
+    expected = [kernel_fn(c) for c in DESC_CASES]
+    assert got == expected
+
+
+def test_date10_col(spark):
+    cases = ["2005-06-15T23:00", "1985-07", "1957", None]
+    got = _one_col_results(spark, cases, N.date10_col)
+    assert got == ["2005-06-15", "1985-07", "1957", None]
+
+
+PAIR_CASES = [
+    # (desc_a, desc_b, src_a, src_b)
+    ("bright light in the sky", "bright light over the ground", 1, 2),
+    ("A" * 50, "A" * 50, None, None),
+    ("A" * 19, "A" * 19, None, None),
+    (None, "text", 1, 2),
+    ("", "", 3, 4),
+    ("NUFORC UFO Sighting 12345", "Some text", 2, None),
+    (
+        "NUFORC UFO Sighting 4242 A bright orange orb hovered over the treeline",
+        "A bright orange orb hovered over the treeline",
+        2,
+        3,
+    ),
+    (
+        "Submitted by razor via e-mail x. Investigator Notes: Three lights moved.",
+        "Three lights moved.",
+        1,
+        2,
+    ),
+    (
+        " ".join(f"alpha{i}" for i in range(40)) + " shared",
+        " ".join(f"bravo{i}" for i in range(40)) + " shared",
+        None,
+        None,
+    ),
+    (
+        "Saw a bright light over the lake moving north very fast then it stopped",
+        "Bright light observed over the lake headed north at high speed before stopping",
+        1,
+        2,
+    ),
+]
+
+
+def _pairs_df(spark):
+    return spark.createDataFrame(
+        PAIR_CASES, "a string, b string, sa int, sb int"
+    )
+
+
+def test_similarity_udf_matches_kernel(spark):
+    got = [
+        r["s"]
+        for r in _pairs_df(spark)
+        .select(similarity_udf("a", "b", "sa", "sb").alias("s"))
+        .collect()
+    ]
+    expected = [kernel.compute_similarity(a, b, sa, sb) for a, b, sa, sb in PAIR_CASES]
+    assert got == pytest.approx(expected)
+
+
+def test_token_jaccard_udf_matches_kernel(spark):
+    got = [
+        r["s"]
+        for r in _pairs_df(spark)
+        .select(token_jaccard_udf("a", "b").alias("s"))
+        .collect()
+    ]
+    expected = [kernel.token_jaccard(a, b) for a, b, _, _ in PAIR_CASES]
+    assert got == pytest.approx(expected)
+
+
+def test_tier3_score_udf_semantics(spark):
+    got = [
+        r["s"]
+        for r in _pairs_df(spark)
+        .select(tier3_score_udf("a", "b", "sa", "sb").alias("s"))
+        .collect()
+    ]
+    for (a, b, sa, sb), s in zip(PAIR_CASES, got):
+        a_clean = kernel.strip_nuforc_prefix(kernel.strip_mufon_boilerplate(a or ""))
+        b_clean = kernel.strip_nuforc_prefix(kernel.strip_mufon_boilerplate(b or ""))
+        if kernel.token_jaccard(a_clean, b_clean) < kernel.TIER3_JACCARD_PREFILTER:
+            assert s is None
+        else:
+            assert s == pytest.approx(kernel.compute_similarity(a, b, sa, sb))
