@@ -1,0 +1,105 @@
+"""Pair-table management: canonicalization, first-wins dedup, reports.
+
+Re-expresses the reference's SQLite mechanics declaratively:
+- ``a < b`` invariant + self-pair drop (reference insert_candidates,
+  dedup.py:237-258) -> least/greatest + filter
+- UNIQUE(a,b) + INSERT OR IGNORE with tiers running in sequence ("first tier
+  to claim a pair wins its method label") -> ONE window pass over the union of
+  all tiers' candidates ranked by tier priority, instead of N sequential
+  anti-joins. Same final table, one shuffle.
+- verification aggregations (dedup.py:598-687) as groupBy jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize_pairs(
+    df: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Enforce id_a < id_b and drop self-pairs (dedup.py:247-251)."""
+    lo = F.least(F.col(id_a), F.col(id_b))
+    hi = F.greatest(F.col(id_a), F.col(id_b))
+    return (
+        df.filter(F.col(id_a) != F.col(id_b))
+        .withColumns({id_a: lo, id_b: hi})
+    )
+
+
+def first_wins(pairs: DataFrame, priority_col: str = "priority") -> DataFrame:
+    """Keep one row per (id_a, id_b): lowest priority value wins.
+
+    Declarative equivalent of running tiers sequentially with
+    INSERT OR IGNORE (dedup.py:254-258): priority encodes tier order, the
+    deterministic tie-break (method, -score) pins behavior the reference
+    leaves to insertion order.
+    """
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col(priority_col).asc(), F.col("method").asc(), F.col("score").desc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", priority_col)
+    )
+
+
+def anti_join_existing(candidates: DataFrame, existing: DataFrame) -> DataFrame:
+    """Drop candidate pairs already present in the pair table (dedup.py:520-524,
+    558-560). Both inputs must already be canonicalized."""
+    return candidates.join(
+        existing.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+    )
+
+
+def method_stats(pairs: DataFrame) -> DataFrame:
+    """Per-method count/avg/min/max score report (dedup.py:613-621)."""
+    return (
+        pairs.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("score"), 3).alias("avg_score"),
+            F.round(F.min("score"), 3).alias("min_score"),
+            F.round(F.max("score"), 3).alias("max_score"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("method"))
+    )
+
+
+def score_buckets(pairs: DataFrame) -> DataFrame:
+    """Score histogram over the reference's five buckets (dedup.py:629-644)
+    in ONE pass instead of five range-count queries."""
+    bucket = (
+        F.when(F.col("score") >= 0.9, "0.9-1.0")
+        .when(F.col("score") >= 0.7, "0.7-0.9")
+        .when(F.col("score") >= 0.5, "0.5-0.7")
+        .when(F.col("score") >= 0.3, "0.3-0.5")
+        .otherwise("0.0-0.3")
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("bucket").desc())
+    )
+
+
+def distinct_participants(pairs: DataFrame) -> DataFrame:
+    """Ids involved in >=1 pair (dedup.py:675-682): explode both sides,
+    distinct. At 10^12 scale swap distinct().count() for
+    approx_count_distinct."""
+    return (
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        ).distinct()
+    )
+
+
+def top_pairs(pairs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k by score (dedup.py:648-663) — TakeOrderedAndProject, no full
+    sort. Deterministic tie-break on the pair ids."""
+    return pairs.orderBy(
+        F.col("score").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
