@@ -1,0 +1,39 @@
+"""Driver-contract smoke tests at sf0.001 (full oracle battery lives in
+scripts/check_correctness.py, run at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["id_a", "id_b", "lang", "jaccard"]
+    assert df.count() > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_every_query_has_oracle_or_is_marked(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key corresponds to a query
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_queries_run_at_tiny_sf(spark):
+    qs = entrymod.queries()
+    for name in ["pricing_summary", "doc_blocking_pairs", "top_similar_embeddings"]:
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0, name

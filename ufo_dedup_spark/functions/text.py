@@ -1,0 +1,98 @@
+"""Text-analysis Column expressions for the training-data pipeline.
+
+All JVM-side (codegen) — no UDFs. Tokenization here is the ASCII-regex
+variant shared with the DuckDB oracles (__spark_entry__.py); the *parity*
+tokenizer (Python \\w semantics) lives in kernel.tokenize and is used by the
+scoring UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Minimal English stopword list for quality scoring; deliberately small and
+# frozen (part of the engine contract, mirrored in oracle SQL).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "it",
+    "for", "with", "as", "at", "by", "from", "that", "this", "was",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Ordered lowercase ASCII tokens (duplicates kept)."""
+    return F.array_remove(F.split(F.lower(text), TOKEN_SPLIT_RE), "")
+
+
+def distinct_tokens_col(text: Column) -> Column:
+    """Distinct token set for Jaccard-style ops."""
+    return F.array_remove(F.array_distinct(F.split(F.lower(text), TOKEN_SPLIT_RE)), "")
+
+
+def token_count_col(text: Column) -> Column:
+    """Total token count (whitespace/punct split)."""
+    return F.size(tokens_col(text))
+
+
+def distinct_token_count_col(text: Column) -> Column:
+    return F.size(distinct_tokens_col(text))
+
+
+def token_jaccard_cols(text_a: Column, text_b: Column) -> Column:
+    """Native token-set Jaccard (ASCII tokenizer) as a Column expression.
+
+    The JVM-side analog of kernel.token_jaccard for pipelines that don't
+    need Python-regex parity; exact rational arithmetic so results are
+    bit-identical across engines.
+    """
+    ta = distinct_tokens_col(text_a)
+    tb = distinct_tokens_col(text_b)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token stream.
+
+    Collapses whitespace/punctuation/case so cosmetic variants collide —
+    the exact-dedup key for the normalized-text variant.
+    """
+    return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    return F.when(
+        F.size(toks) > 0, n_stop.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def avg_token_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic [0,1] quality score: length factor x lexical diversity.
+
+    length factor = min(1, n_tokens/100); diversity = distinct/total tokens.
+    Frozen formula, mirrored in the oracle SQL.
+    """
+    n = token_count_col(text)
+    d = distinct_token_count_col(text)
+    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    diversity = F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(length_factor * diversity, 6)
