@@ -1,0 +1,85 @@
+"""Run the web dedup pipeline on the synthetic corpus and report metrics.
+
+Usage: python scripts/run_pipeline.py [--rows N] [--seed S] [--master M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ufo_dedup_spark.pipeline import PipelineConfig, run_pipeline  # noqa: E402
+from ufo_dedup_spark.session import build_session  # noqa: E402
+from ufo_dedup_spark.synth import SynthConfig, corpus_dataframes  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="run-pipeline", master=args.master)
+    pages, truth_pairs, truth_clusters = corpus_dataframes(
+        spark, SynthConfig(n_docs=args.rows, seed=args.seed)
+    )
+    pages = pages.persist()
+    n_pages = pages.count()
+
+    t0 = time.time()
+    result = run_pipeline(spark, pages, PipelineConfig())
+    n_pairs = result["pairs"].count()
+    n_clusters = (
+        result["clusters"]
+        .groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    elapsed = time.time() - t0
+
+    # recall vs planted truth (pair-level, via urls)
+    ids = result["docs"].select("id", "url")
+    pred = (
+        result["pairs"]
+        .join(ids.select(F.col("id").alias("id_a"), F.col("url").alias("url_a")), "id_a")
+        .join(ids.select(F.col("id").alias("id_b"), F.col("url").alias("url_b")), "id_b")
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+        )
+    )
+    tp = truth_pairs.select(
+        F.least("url_a", "url_b").alias("url_a"),
+        F.greatest("url_a", "url_b").alias("url_b"),
+        "kind",
+    )
+    hits = tp.join(pred, ["url_a", "url_b"], "left_semi")
+    recall_by_kind = {
+        r["kind"]: (r["hits"], r["total"])
+        for r in tp.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .join(
+            hits.groupBy("kind").agg(F.count(F.lit(1)).alias("hits")),
+            "kind",
+            "left",
+        )
+        .fillna(0)
+        .collect()
+    }
+
+    print(f"pages={n_pages} pairs={n_pairs} multi_clusters={n_clusters}")
+    for kind, (h, t) in sorted(recall_by_kind.items()):
+        print(f"  recall[{kind}] = {h}/{t} = {h / t:.4f}")
+    print(f"elapsed={elapsed:.1f}s throughput={n_pages / elapsed:.1f} docs/s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""End-to-end web dedup pipeline on the synthetic corpus: extraction
+byte-identity, pair recall per planted kind, cluster integrity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ufo_dedup_spark.pipeline import PipelineConfig, prepare_documents, run_pipeline
+from ufo_dedup_spark.synth import SynthConfig, corpus_dataframes
+
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, truth_pairs, truth_clusters = corpus_dataframes(
+        spark, SynthConfig(n_docs=N_DOCS, seed=42)
+    )
+    return pages.persist(), truth_pairs.persist(), truth_clusters.persist()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    pages, _, _ = corpus
+    return run_pipeline(spark, pages, PipelineConfig())
+
+
+def test_extraction_byte_identical(spark, corpus):
+    """North-rule invariant: extracted text == ground-truth text, per url."""
+    pages, _, _ = corpus
+    docs = prepare_documents(pages, use_extractor=True)
+    joined = docs.join(pages.select("url", F.col("text").alias("t0")), "url")
+    mismatches = joined.filter(
+        ~F.col("text").eqNullSafe(F.col("t0"))
+    ).count()
+    assert mismatches == 0
+
+
+def _pair_urls(result, spark, corpus):
+    pages, truth_pairs, _ = corpus
+    ids = prepare_documents(pages, use_extractor=False).select("id", "url")
+    p = (
+        result["pairs"]
+        .join(ids.select(F.col("id").alias("id_a"), F.col("url").alias("url_a")), "id_a")
+        .join(ids.select(F.col("id").alias("id_b"), F.col("url").alias("url_b")), "id_b")
+    )
+    return {
+        tuple(sorted((r["url_a"], r["url_b"]))) for r in p.collect()
+    }
+
+
+def test_pair_recall_by_kind(spark, corpus, result):
+    pages, truth_pairs, _ = corpus
+    predicted = _pair_urls(result, spark, corpus)
+    truth = [(r["url_a"], r["url_b"], r["kind"]) for r in truth_pairs.collect()]
+
+    by_kind: dict[str, list[bool]] = {}
+    for a, b, kind in truth:
+        hit = tuple(sorted((a, b))) in predicted
+        by_kind.setdefault(kind, []).append(hit)
+
+    recalls = {k: sum(v) / len(v) for k, v in by_kind.items()}
+    # direct pair recall for small planted clusters
+    for kind in ("exact", "near", "prefix", "span"):
+        assert recalls.get(kind, 0.0) >= 0.99, recalls
+    # skew pairs may be represented by chains — covered by the cluster test
+
+
+def test_cluster_integrity(spark, corpus, result):
+    """Every truth cluster must land in ONE predicted cluster (recall), and
+    docs outside any truth cluster must stay singletons (precision)."""
+    pages, _, truth_clusters = corpus
+    ids = prepare_documents(pages, use_extractor=False).select("id", "url")
+    pred = result["clusters"].select("url", F.col("cluster_id").alias("pred_c"))
+
+    tc = truth_clusters.join(pred, "url")
+    # recall: one predicted cluster per truth cluster
+    split_clusters = (
+        tc.groupBy("cluster_id")
+        .agg(F.countDistinct("pred_c").alias("n_pred"))
+        .filter(F.col("n_pred") > 1)
+        .count()
+    )
+    n_truth_clusters = truth_clusters.select("cluster_id").distinct().count()
+    assert split_clusters / n_truth_clusters <= 0.01, (
+        f"{split_clusters}/{n_truth_clusters} truth clusters split"
+    )
+
+    # precision: non-planted docs remain singletons
+    planted_urls = truth_clusters.select("url")
+    loners = pred.join(planted_urls, "url", "left_anti")
+    cluster_sizes = result["clusters"].groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    merged_loners = (
+        loners.join(
+            cluster_sizes, loners.pred_c == cluster_sizes.cluster_id
+        )
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    n_loners = loners.count()
+    assert merged_loners / max(n_loners, 1) <= 0.01, (
+        f"{merged_loners}/{n_loners} unplanted docs merged into clusters"
+    )
+
+
+def test_pair_precision(spark, corpus, result):
+    """Predicted pairs above the cluster threshold should overwhelmingly be
+    planted relations (same truth cluster)."""
+    pages, _, truth_clusters = corpus
+    pred = result["pairs"].filter(F.col("score") >= 0.7)
+    ids = prepare_documents(pages, use_extractor=False).select("id", "url")
+    p = (
+        pred
+        .join(ids.select(F.col("id").alias("id_a"), F.col("url").alias("url_a")), "id_a")
+        .join(ids.select(F.col("id").alias("id_b"), F.col("url").alias("url_b")), "id_b")
+    )
+    tc = {r["url"]: r["cluster_id"] for r in truth_clusters.collect()}
+    rows = p.select("url_a", "url_b").collect()
+    if not rows:
+        pytest.fail("no predicted pairs at all")
+    good = sum(
+        1
+        for r in rows
+        if tc.get(r["url_a"]) is not None
+        and tc.get(r["url_a"]) == tc.get(r["url_b"])
+    )
+    assert good / len(rows) >= 0.95, f"precision {good}/{len(rows)}"
+
+
+def test_methods_present(result):
+    methods = {
+        r["method"] for r in result["pairs"].select("method").distinct().collect()
+    }
+    assert {"exact", "minhash_lsh"} <= methods
+    assert "substring" in methods or "prefix" in methods
