@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--rows", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--json", action="store_true",
+                    help="print one JSON line (skip recall computation)")
     args = ap.parse_args()
 
     spark = build_session(app_name="run-pipeline", master=args.master)
@@ -43,6 +45,20 @@ def main():
         .count()
     )
     elapsed = time.time() - t0
+
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "rows": n_pages,
+            "master": args.master,
+            "elapsed_sec": round(elapsed, 2),
+            "docs_per_sec": round(n_pages / elapsed, 1),
+            "pairs": n_pairs,
+            "multi_clusters": n_clusters,
+        }))
+        spark.stop()
+        return
 
     # recall vs planted truth (pair-level, via urls)
     ids = result["docs"].select("id", "url")

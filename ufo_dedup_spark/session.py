@@ -53,7 +53,9 @@ def build_session(
     if shuffle_partitions is None:
         n = master[master.index("[") + 1 : -1] if "[" in master else "8"
         cores = os.cpu_count() or 8 if n == "*" else int(n)
-        shuffle_partitions = max(8, 2 * cores)
+        # one shuffle partition per core: AQE splits skewed/huge partitions
+        # upward at runtime, so oversizing here only buys task overhead
+        shuffle_partitions = max(8, cores)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -61,7 +63,16 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: keep coalescePartitions.parallelismFirst at its default
+        # (true). Size-first coalescing collapses small-in-bytes shuffles to
+        # one partition, which serializes CPU-heavy post-shuffle work
+        # (exploded LSH buckets, pandas-UDF verification) — measured 2-4x
+        # slower on the dedup pipeline.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # collect_list aggregations over millions of small groups: the
+        # default ObjectHashAggregate fallback (128 groups) degrades to a
+        # full sort — raise it so bucket-collection stays hash-based
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -4,14 +4,23 @@ Implements FIXTURES.md §1: a Common-Crawl-style ``pages`` table
 (url, warc_ts, html, text, lang) plus ground-truth sidecars
 ``truth_pairs(url_a, url_b, kind)`` and ``truth_clusters(url, cluster_id)``.
 
-Planted structure (all seeded -> byte-identical across runs):
+Design: every row is a PURE FUNCTION of (doc index, config) — the index
+space is partitioned into segments (skew host, exact-dup groups, near-dup
+groups, prefix pairs, span pairs, unique fillers) by arithmetic, and all
+randomness comes from rngs seeded with (cfg.seed, segment, group). That
+makes generation embarrassingly parallel: ``corpus_dataframes`` emits pages
+via mapInPandas over spark.range(n), so corpora scale with the cluster
+instead of the driver, and the bytes are identical regardless of
+parallelism. Ground truth is derived from the same index arithmetic without
+generating any text.
+
+Planted structure:
 - exact dups: identical text, different url/warc_ts
-- near dups: 1-10% token edits (replace/insert/delete)
+- near dups: 1-8% token edits (replace/insert/delete)
 - prefix dups: one text a >=20-char prefix of the other (0.95 shortcut band)
 - span dups: >=250-char shared substring inside otherwise-different pages
-- skewed host: one host contributing ~15% of rows of boilerplate-heavy
-  near-identical pages (salting/bucket-cap stress)
-- non-dups: unique pages incl. low-Jaccard decoys
+- skewed host: ~15% of rows on one boilerplate host, ~1% edits apart
+- non-dups: unique filler pages
 
 ``html`` embeds the text with entity escaping; extraction must recover the
 ``text`` column byte-identically (the per-row invariant).
@@ -21,7 +30,9 @@ from __future__ import annotations
 
 import html as html_mod
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+
+_LANGS = ("en", "de", "fr", "es")
 
 
 @dataclass
@@ -34,11 +45,74 @@ class SynthConfig:
     prefix_frac: float = 0.04
     span_frac: float = 0.04
     skew_frac: float = 0.15
-    langs: tuple = ("en", "de", "fr", "es")
-    hosts: tuple = tuple(f"site{i}.example.com" for i in range(40))
+    n_hosts: int = 40
     skew_host: str = "spam.example.com"
     base_ts: int = 1700000000  # epoch seconds
-    epsilon_kinds: dict = field(default_factory=dict)
+
+    # ---- derived segment boundaries (index arithmetic) ----
+    def layout(self) -> dict[str, tuple[int, int]]:
+        n = self.n_docs
+        b0 = 0
+        b1 = b0 + int(n * self.skew_frac)          # [b0, b1) skew host
+        b2 = b1 + int(n * self.exact_frac)         # [b1, b2) exact groups
+        b3 = b2 + int(n * self.near_frac)          # [b2, b3) near groups
+        b4 = b3 + 2 * (int(n * self.prefix_frac) // 2)   # prefix pairs
+        b5 = b4 + 2 * (int(n * self.span_frac) // 2)     # span pairs
+        return {
+            "skew": (b0, b1),
+            "exact": (b1, b2),
+            "near": (b2, b3),
+            "prefix": (b3, b4),
+            "span": (b4, b5),
+            "filler": (b5, n),
+        }
+
+
+_GROUP_SIZE = 3  # exact/near segments use fixed groups of 3 (last may clip)
+
+
+def _rng(cfg: SynthConfig, *key) -> random.Random:
+    """Deterministic rng from a structured key (tuples aren't seedable)."""
+    return random.Random(f"{cfg.seed}|" + "|".join(map(str, key)))
+
+
+def _vocab_word(cfg: SynthConfig, i: int) -> str:
+    return f"w{i % cfg.vocab_size:04d}"
+
+
+def _base_text(cfg: SynthConfig, key: tuple, lo: int = 60, hi: int = 500) -> str:
+    rng = _rng(cfg, "base", *key)
+    n_tokens = rng.randint(lo, hi)
+    common = ["the", "and", "of", "page", "site", "info"]
+    return " ".join(
+        rng.choice(common) if rng.random() < 0.15 else
+        _vocab_word(cfg, rng.randrange(cfg.vocab_size))
+        for _ in range(n_tokens)
+    )
+
+
+def _near_edit(cfg: SynthConfig, text: str, key: tuple, edit_frac: float) -> str:
+    rng = _rng(cfg, "edit", *key)
+    toks = text.split(" ")
+    n_edits = max(1, int(len(toks) * edit_frac))
+    for _ in range(n_edits):
+        op = rng.random()
+        i = rng.randrange(len(toks))
+        if op < 0.4:
+            toks[i] = _vocab_word(cfg, rng.randrange(cfg.vocab_size))
+        elif op < 0.7 and len(toks) > 10:
+            del toks[i]
+        else:
+            toks.insert(i, _vocab_word(cfg, rng.randrange(cfg.vocab_size)))
+    return " ".join(toks)
+
+
+def _lang(cfg: SynthConfig, group_key: tuple) -> str:
+    return _LANGS[_rng(cfg, "lang", *group_key).randrange(len(_LANGS))]
+
+
+def _host(cfg: SynthConfig, idx: int) -> str:
+    return f"site{_rng(cfg, 'host', idx).randrange(cfg.n_hosts)}.example.com"
 
 
 def _render_html(text: str, title: str) -> bytes:
@@ -50,180 +124,148 @@ def _render_html(text: str, title: str) -> bytes:
     ).encode("utf-8")
 
 
-def generate_corpus(cfg: SynthConfig | None = None):
-    """Returns (pages, truth_pairs, truth_clusters) as lists of tuples:
+def _segment_of(cfg: SynthConfig, idx: int) -> tuple[str, int, int]:
+    for name, (lo, hi) in cfg.layout().items():
+        if lo <= idx < hi:
+            return name, lo, hi
+    raise IndexError(idx)
 
-    pages: (url, warc_ts_epoch, html bytes, text, lang)
-    truth_pairs: (url_a, url_b, kind)
-    truth_clusters: (url, cluster_id)  — cluster_id = min doc index of group
+
+def text_for_index(cfg: SynthConfig, idx: int) -> tuple[str, str]:
+    """(text, lang) for a doc index — the deterministic core."""
+    seg, lo, hi = _segment_of(cfg, idx)
+    if seg == "skew":
+        base = _base_text(cfg, ("skew",), 250, 350)
+        return _near_edit(cfg, base, ("skew", idx), 0.01), "en"
+    if seg in ("exact", "near"):
+        group = (idx - lo) // _GROUP_SIZE
+        pos = (idx - lo) % _GROUP_SIZE
+        base = _base_text(cfg, (seg, group), 100, 500)
+        lang = _lang(cfg, (seg, group))
+        if seg == "exact" or pos == 0:
+            return base, lang
+        rng = _rng(cfg, "frac", seg, group, pos)
+        return _near_edit(cfg, base, (seg, group, pos), rng.uniform(0.01, 0.08)), lang
+    if seg == "prefix":
+        pair = (idx - lo) // 2
+        pos = (idx - lo) % 2
+        base = _base_text(cfg, ("prefix", pair), 200, 500)
+        lang = _lang(cfg, ("prefix", pair))
+        if pos == 0:
+            return base, lang
+        rng = _rng(cfg, "cut", pair)
+        cut = rng.randint(len(base) // 3, 2 * len(base) // 3)
+        return base[:cut].rstrip(), lang
+    if seg == "span":
+        pair = (idx - lo) // 2
+        pos = (idx - lo) % 2
+        span = _base_text(cfg, ("span", pair), 60, 60)
+        own = _base_text(cfg, ("spanown", pair, pos), 80, 200)
+        rng = _rng(cfg, "cutspan", pair, pos)
+        c = rng.randrange(max(1, len(own) - 1))
+        lang = _lang(cfg, ("span", pair))
+        return own[:c].rstrip() + " " + span + " " + own[c:].lstrip(), lang
+    # filler
+    return _base_text(cfg, ("filler", idx)), _lang(cfg, ("filler", idx))
+
+
+def row_for_index(cfg: SynthConfig, idx: int) -> tuple:
+    """(url, ts_epoch, html, text, lang) — pure function of (cfg, idx)."""
+    seg, _, _ = _segment_of(cfg, idx)
+    text, lang = text_for_index(cfg, idx)
+    host = cfg.skew_host if seg == "skew" else _host(cfg, idx)
+    url = f"https://{host}/p/{idx}"
+    return url, cfg.base_ts + idx * 17, _render_html(text, f"doc {idx}"), text, lang
+
+
+def _url_for_index(cfg: SynthConfig, idx: int) -> str:
+    seg, _, _ = _segment_of(cfg, idx)
+    host = cfg.skew_host if seg == "skew" else _host(cfg, idx)
+    return f"https://{host}/p/{idx}"
+
+
+def ground_truth(cfg: SynthConfig):
+    """(truth_pairs, truth_clusters) from index arithmetic — no text work.
+
+    Skew pair truth is a linear sample (adjacent indices); its full truth is
+    cluster-level. Cluster id = min member index of the planted group.
     """
+    lay = cfg.layout()
+    pairs: list[tuple] = []
+    clusters: list[tuple] = []
+
+    lo, hi = lay["skew"]
+    for i in range(lo, hi):
+        clusters.append((_url_for_index(cfg, i), lo))
+        if i + 1 < hi:
+            pairs.append((_url_for_index(cfg, i), _url_for_index(cfg, i + 1), "skew_near"))
+
+    for seg in ("exact", "near"):
+        lo, hi = lay[seg]
+        for g_lo in range(lo, hi, _GROUP_SIZE):
+            members = list(range(g_lo, min(g_lo + _GROUP_SIZE, hi)))
+            if len(members) < 2:
+                continue
+            for m in members:
+                clusters.append((_url_for_index(cfg, m), g_lo))
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    pairs.append((_url_for_index(cfg, a), _url_for_index(cfg, b), seg))
+
+    for seg in ("prefix", "span"):
+        lo, hi = lay[seg]
+        for a in range(lo, hi, 2):
+            b = a + 1
+            if b >= hi:
+                break
+            pairs.append((_url_for_index(cfg, a), _url_for_index(cfg, b), seg))
+            clusters.append((_url_for_index(cfg, a), a))
+            clusters.append((_url_for_index(cfg, b), a))
+
+    return pairs, clusters
+
+
+def generate_corpus(cfg: SynthConfig | None = None):
+    """Driver-side generation (small n, unit tests): identical bytes to the
+    distributed path."""
     cfg = cfg or SynthConfig()
-    rng = random.Random(cfg.seed)
-    vocab = [f"w{i:04d}" for i in range(cfg.vocab_size)]
-    common = ["the", "and", "of", "page", "site", "info"]
-
-    def base_text(n_tokens: int) -> str:
-        toks = [
-            rng.choice(common) if rng.random() < 0.15 else rng.choice(vocab)
-            for _ in range(n_tokens)
-        ]
-        return " ".join(toks)
-
-    def near_edit(text: str, edit_frac: float) -> str:
-        toks = text.split(" ")
-        n_edits = max(1, int(len(toks) * edit_frac))
-        for _ in range(n_edits):
-            op = rng.random()
-            i = rng.randrange(len(toks))
-            if op < 0.4:
-                toks[i] = rng.choice(vocab)
-            elif op < 0.7 and len(toks) > 10:
-                del toks[i]
-            else:
-                toks.insert(i, rng.choice(vocab))
-        return " ".join(toks)
-
-    pages: list[tuple] = []
-    truth_pairs: list[tuple] = []
-    cluster_of: dict[int, int] = {}
-
-    def add_page(idx: int, text: str, host: str, lang: str):
-        url = f"https://{host}/p/{idx}"
-        ts = cfg.base_ts + idx * 17
-        pages.append((url, ts, _render_html(text, f"doc {idx}"), text, lang))
-        return url
-
-    def plant_cluster(urls_idx: list[int], kind: str):
-        root = min(urls_idx)
-        for i in urls_idx:
-            cluster_of[i] = min(cluster_of.get(i, root), root)
-        for i, a in enumerate(urls_idx):
-            for b in urls_idx[i + 1 :]:
-                truth_pairs.append((f_url(a), f_url(b), kind))
-
-    url_of: dict[int, str] = {}
-
-    def f_url(i: int) -> str:
-        return url_of[i]
-
-    idx = 0
-    n = cfg.n_docs
-    n_skew = int(n * cfg.skew_frac)
-    n_exact = int(n * cfg.exact_frac)
-    n_near = int(n * cfg.near_frac)
-    n_prefix = int(n * cfg.prefix_frac)
-    n_span = int(n * cfg.span_frac)
-
-    # --- skewed host: one big boilerplate near-dup cluster ---
-    skew_base = base_text(300)
-    skew_members = []
-    for _ in range(n_skew):
-        text = near_edit(skew_base, 0.01)
-        lang = "en"
-        url_of[idx] = add_page(idx, text, cfg.skew_host, lang)
-        skew_members.append(idx)
-        idx += 1
-    # pair truth for the skew cluster is cluster-level only (quadratic pair
-    # list would dominate the fixture); plant a linear sample of pairs
-    for a, b in zip(skew_members, skew_members[1:]):
-        truth_pairs.append((f_url(a), f_url(b), "skew_near"))
-    root = min(skew_members)
-    for i in skew_members:
-        cluster_of[i] = root
-
-    def rand_host():
-        return rng.choice(cfg.hosts)
-
-    def rand_lang():
-        return rng.choice(cfg.langs)
-
-    # --- exact-dup clusters (size 2-3) ---
-    made = 0
-    while made < n_exact:
-        size = rng.choice([2, 2, 3])
-        text = base_text(rng.randint(80, 500))
-        lang = rand_lang()
-        members = []
-        for _ in range(size):
-            url_of[idx] = add_page(idx, text, rand_host(), lang)
-            members.append(idx)
-            idx += 1
-            made += 1
-        plant_cluster(members, "exact")
-
-    # --- near-dup clusters (size 2-3, 1-10% edits) ---
-    made = 0
-    while made < n_near:
-        size = rng.choice([2, 2, 3])
-        text = base_text(rng.randint(100, 500))
-        lang = rand_lang()
-        members = []
-        for k in range(size):
-            t = text if k == 0 else near_edit(text, rng.uniform(0.01, 0.08))
-            url_of[idx] = add_page(idx, t, rand_host(), lang)
-            members.append(idx)
-            idx += 1
-            made += 1
-        plant_cluster(members, "near")
-
-    # --- prefix dups ---
-    made = 0
-    while made < n_prefix:
-        text = base_text(rng.randint(200, 500))
-        cut = rng.randint(len(text) // 3, 2 * len(text) // 3)
-        prefix = text[:cut].rstrip()
-        lang = rand_lang()
-        a, b = idx, idx + 1
-        url_of[a] = add_page(a, text, rand_host(), lang)
-        url_of[b] = add_page(b, prefix, rand_host(), lang)
-        idx += 2
-        made += 2
-        plant_cluster([a, b], "prefix")
-
-    # --- span dups: long shared substring, otherwise different ---
-    made = 0
-    while made < n_span:
-        span = base_text(60)  # ~300+ chars
-        ta = base_text(rng.randint(80, 200))
-        tb = base_text(rng.randint(80, 200))
-        ca = rng.randrange(max(1, len(ta) - 1))
-        cb = rng.randrange(max(1, len(tb) - 1))
-        a_text = ta[:ca].rstrip() + " " + span + " " + ta[ca:].lstrip()
-        b_text = tb[:cb].rstrip() + " " + span + " " + tb[cb:].lstrip()
-        lang = rand_lang()
-        a, b = idx, idx + 1
-        url_of[a] = add_page(a, a_text, rand_host(), lang)
-        url_of[b] = add_page(b, b_text, rand_host(), lang)
-        idx += 2
-        made += 2
-        plant_cluster([a, b], "span")
-
-    # --- unique fillers (incl. low-jaccard decoys) ---
-    while idx < n:
-        url_of[idx] = add_page(idx, base_text(rng.randint(60, 500)), rand_host(), rand_lang())
-        idx += 1
-
-    truth_clusters = [
-        (url_of[i], min(c, i)) for i, c in sorted(cluster_of.items())
-    ]
-    return pages, truth_pairs, truth_clusters
+    pages = [row_for_index(cfg, i) for i in range(cfg.n_docs)]
+    tp, tc = ground_truth(cfg)
+    return pages, tp, tc
 
 
 def corpus_dataframes(spark, cfg: SynthConfig | None = None):
-    """Materialize the corpus as Spark DataFrames (pages, truth_pairs,
-    truth_clusters) with the PAGES_SCHEMA column types."""
+    """(pages, truth_pairs, truth_clusters) DataFrames; pages generated
+    DISTRIBUTED via mapInPandas over spark.range(n_docs)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    pages, tp, tc = generate_corpus(cfg)
-    pages_df = spark.createDataFrame(
-        pages, "url string, ts_epoch long, html binary, text string, lang string"
-    ).select(
-        "url",
-        F.timestamp_seconds("ts_epoch").alias("warc_ts"),
-        "html",
-        "text",
-        "lang",
+    cfg = cfg or SynthConfig()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [row_for_index(cfg, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "ts_epoch", "html", "text", "lang"]
+            )
+
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    pages_df = (
+        spark.range(0, cfg.n_docs, numPartitions=n_part)
+        .mapInPandas(
+            gen, "url string, ts_epoch long, html binary, text string, lang string"
+        )
+        .select(
+            "url",
+            F.timestamp_seconds("ts_epoch").alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
     )
+    tp, tc = ground_truth(cfg)
     tp_df = spark.createDataFrame(tp, "url_a string, url_b string, kind string")
-    tc_df = spark.createDataFrame(tc, "url string, cluster_id long")
+    tc_df = spark.createDataFrame(
+        [(u, int(c)) for u, c in tc], "url string, cluster_id long"
+    )
     return pages_df, tp_df, tc_df
