@@ -566,3 +566,199 @@ def top_similar_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("cs", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering, sessionization, embeddings, signatures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_clusters",
+    f"""
+    WITH RECURSIVE p AS (
+        SELECT id_a, id_b FROM ({_DOC_PAIRS_SQL}) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
+    )
+    SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed union-find (large-star/small-star) over near-dup edges;
+    oracle = transitive closure via a recursive CTE. cluster_id = component
+    min id on both sides."""
+    from ufo_dedup_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _doc_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b"
+    )
+    return connected_components(edges)
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    )
+    SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the classic stateful-stream op expressed as batch windows."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    y = x.select(
+        "user_id",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    return y.groupBy("user_id").agg(
+        F.max("sid").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4
+           ) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4
+           ) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact pairwise baseline)."""
+    from ufo_dedup_spark.operators.similarity_search import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+@register(
+    "token_count_by_source",
+    f"""
+    SELECT source,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len({_DTOKS})) AS BIGINT) AS total_distinct_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (training-data pipeline staple)."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("source").agg(
+        F.sum(TX.token_count_col(t)).cast("long").alias("total_tokens"),
+        F.sum(TX.distinct_token_count_col(t))
+        .cast("long")
+        .alias("total_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---- non-SQL-expressible ops: rows-only driver check, pinned by pytest ----
+
+
+@register("minhash_lsh_candidates")  # no oracle: hash permutations
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature -> LSH banding -> candidate pairs over documents
+    (correctness pinned by tests/test_hashing.py + pipeline recall tests)."""
+    from ufo_dedup_spark.functions.hashing import make_minhash_udf
+    from ufo_dedup_spark.operators.minhash_lsh import lsh_candidate_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    minhash = make_minhash_udf(num_perm=128, shingle_k=3, seed=42)
+    signed = d.select(
+        F.col("doc_id").alias("id"), minhash(F.col("text")).alias("minhash")
+    )
+    return lsh_candidate_pairs(signed, "id", "minhash", 42, 3, 64)
+
+
+@register("simhash_fingerprints")  # no oracle: blake2b bit votes
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document."""
+    from ufo_dedup_spark.functions.hashing import make_simhash_udf
+
+    d = _read(spark, sf_dir, "documents")
+    simhash = make_simhash_udf(shingle_k=2, seed=42)
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@register("ivf_topk_embeddings")  # no oracle: probe set is impl-defined
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (pytest asserts equality
+    with the brute-force result at full probe width)."""
+    from ufo_dedup_spark.operators.similarity_search import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = [float(v) for v in qrow["embedding"]]
+    out = ivf_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, n_probe=8
+    )
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
