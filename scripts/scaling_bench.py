@@ -29,9 +29,15 @@ def run_level(master: str, rows: int) -> dict:
         ],
         capture_output=True,
         text=True,
-        check=True,
         cwd=REPO,
     )
+    if out.returncode != 0:
+        sys.stderr.write(
+            f"--- {master} leg failed (rc={out.returncode}); stderr tail ---\n"
+            + "\n".join(out.stderr.splitlines()[-30:])
+            + "\n"
+        )
+        raise SystemExit(1)
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(last)
 
