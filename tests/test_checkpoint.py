@@ -73,6 +73,30 @@ def test_partitioned_stage_resumes_after_kill(spark, tmp_path):
     assert all("rows_out" in b for b in manifest["buckets"].values())
 
 
+def test_partitioned_stage_n_buckets_change_recomputes(spark, tmp_path):
+    """Changing n_buckets invalidates the stage: no duplicate rows from old
+    bucketings, no stale bucket=* subdirs unioned back in."""
+    src = spark.range(100).withColumnRenamed("id", "k")
+
+    def builder(part):
+        return part.withColumn("v", F.col("k") * 2)
+
+    base = str(tmp_path / "ck4")
+    mgr = CheckpointManager(spark, base, "fp")
+    out4 = mgr.partitioned_stage("score", src, F.xxhash64("k"), 4, builder)
+    assert out4.count() == 100
+
+    # grow the bucket count: old bucket=0..3 dirs must not survive
+    out8 = mgr.partitioned_stage("score", src, F.xxhash64("k"), 8, builder)
+    assert out8.count() == 100  # would be 200 if stale buckets leaked
+    assert set(mgr.read_manifest("score")["buckets"]) == {str(i) for i in range(8)}
+
+    # shrink it again: ditto (stale bucket=4..7 dirs must be wiped)
+    out2 = mgr.partitioned_stage("score", src, F.xxhash64("k"), 2, builder)
+    assert out2.count() == 100
+    assert {r["v"] for r in out2.collect()} == {2 * k for k in range(100)}
+
+
 @pytest.mark.slow
 def test_checkpointed_pipeline_matches_plain(spark, tmp_path):
     pages, _, _ = corpus_dataframes(spark, SynthConfig(n_docs=400, seed=42))

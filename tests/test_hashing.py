@@ -29,7 +29,27 @@ def test_minhash_udf_matches_reference_impl(spark):
     got = [r["sig"] for r in df.select(udf("text").alias("sig")).collect()]
     for t, sig in zip(TEXTS, got):
         expected = minhash_signature(t or "", num_perm=32, shingle_k=3, seed=7)
-        assert list(sig) == list(expected), t
+        if expected is None:
+            assert sig is None, t  # empty docs -> NULL signature, never bucket
+        else:
+            assert list(sig) == list(expected), t
+
+
+def test_empty_docs_never_generate_candidates(spark):
+    """Empty/whitespace docs get NULL signatures and produce zero candidate
+    pairs through either LSH banding or SimHash chunk blocking."""
+    from ufo_dedup_spark.operators.minhash_lsh import (
+        lsh_candidate_pairs,
+        simhash_candidate_pairs,
+    )
+
+    rows = [(i, "") for i in range(10)] + [(20, None), (21, "   ")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    mh = make_minhash_udf(num_perm=16, shingle_k=2, seed=1)
+    sh = make_simhash_udf(shingle_k=2, seed=1)
+    signed = df.select("id", mh("text").alias("minhash"), sh("text").alias("simhash"))
+    assert lsh_candidate_pairs(signed, "id", "minhash", 4, 4).count() == 0
+    assert simhash_candidate_pairs(signed, "id", "simhash").count() == 0
 
 
 def test_minhash_estimates_jaccard(spark):

@@ -130,6 +130,65 @@ def test_pair_precision(spark, corpus, result):
     assert good / len(rows) >= 0.95, f"precision {good}/{len(rows)}"
 
 
+def test_short_prefix_pair_caught(spark):
+    """A 20-63-char doc that is a true prefix of a longer doc must pair:
+    regression for the prefix bucket keying on more chars than the band's
+    20-char minimum (short doc hashed a shorter string, never collided)."""
+    short = "alpha beta gamma delta epsilon"  # 30 chars, >= 20
+    long = short + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    filler = [
+        f"completely unrelated filler document number {i} with its own words"
+        for i in range(6)
+    ]
+    rows = [("u_short", short), ("u_long", long)] + [
+        (f"u_f{i}", t) for i, t in enumerate(filler)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    result = run_pipeline(spark, pages, PipelineConfig(), use_extractor=False)
+    ids = prepare_documents(pages, use_extractor=False).select("id", "url")
+    p = (
+        result["pairs"]
+        .join(ids.select(F.col("id").alias("id_a"), F.col("url").alias("url_a")), "id_a")
+        .join(ids.select(F.col("id").alias("id_b"), F.col("url").alias("url_b")), "id_b")
+    )
+    got = {tuple(sorted((r["url_a"], r["url_b"]))) for r in p.collect()}
+    assert ("u_long", "u_short") in got
+
+
+def test_candidate_cap_keeps_every_doc_connected(spark):
+    """With a tiny per-doc cap, a doc that is the smaller id in all its pairs
+    must still retain an edge (two-sided cap regression)."""
+    from ufo_dedup_spark.pipeline import candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    # 12 near-identical docs -> one clique; every doc must survive the cap
+    rows = [(f"u{i}", base + f"tail{i}") for i in range(12)]
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    cfg = PipelineConfig(max_candidates_per_doc=2, substring_enabled=False)
+    docs = prepare_documents(pages, use_extractor=False)
+    cands = candidate_pairs(docs, cfg)
+    touched = {
+        r["id"]
+        for r in cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct().collect()
+    }
+    all_ids = {r["id"] for r in docs.select("id").collect()}
+    assert touched == all_ids, "cap disconnected some docs entirely"
+
+
 def test_methods_present(result):
     methods = {
         r["method"] for r in result["pairs"].select("method").distinct().collect()

@@ -122,12 +122,32 @@ class CheckpointManager:
         manifest; on resume only missing buckets run.
         """
         manifest_path = self._manifest_path(name)
-        state: dict = {"fingerprint": self.fingerprint, "buckets": {}}
+        # n_buckets is part of the resume contract: bucket membership is
+        # pmod(key, n_buckets), so output written under a different bucket
+        # count covers a different (overlapping) slice of the keyspace.
+        # Resuming across an n_buckets change would re-emit rows already
+        # covered by old buckets (or union stale subdirs back in), so the
+        # manifest records it and any mismatch wipes the stage data dir.
+        state: dict = {
+            "fingerprint": self.fingerprint,
+            "n_buckets": n_buckets,
+            "buckets": {},
+        }
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 prev = json.load(f)
-            if prev.get("fingerprint") == self.fingerprint:
+            if (
+                prev.get("fingerprint") == self.fingerprint
+                and prev.get("n_buckets") == n_buckets
+            ):
                 state = prev
+        if not state["buckets"]:
+            # fresh start (no manifest, config change, or bucket-count
+            # change): clear stale bucket=* subdirs so the final
+            # read.parquet() cannot union back rows from a dead config
+            import shutil
+
+            shutil.rmtree(self._data_path(name), ignore_errors=True)
 
         # pmod, not %: hash expressions go negative and `%` preserves sign
         src = source.withColumn("_bucket", F.pmod(bucket_expr, F.lit(n_buckets)))

@@ -49,22 +49,25 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
     """Returns a pandas UDF text -> array<long> MinHash signature.
 
-    sig[j] = min over shingles x of ((a_j * x + b_j) mod M61); empty docs get
-    the all-M61 sentinel signature (matches nothing).
+    sig[j] = min over shingles x of ((a_j * x + b_j) mod M61); empty/None
+    docs get a NULL signature. NULL (not a shared sentinel) matters: any
+    constant sentinel makes all empty docs band-identical, so they co-bucket
+    in every LSH band and generate O(n_empty^2) candidate pairs that
+    verification then has to discard. Banding filters NULL signatures out
+    (operators/minhash_lsh.py), so empty docs never enter a bucket.
     """
     a, b = _perm_params(num_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         out = []
-        empty = np.full(num_perm, _MERSENNE61, dtype=np.int64)
         for t in texts:
             if t is None:
-                out.append(empty)
+                out.append(None)
                 continue
             x = _shingle_hashes(t, shingle_k)
             if x.size == 0:
-                out.append(empty)
+                out.append(None)
                 continue
             # Exact (a*x + b) mod M61 in uint64 without overflow:
             # split a = a_hi*2^32 + a_lo (x < 2^32 from crc32, a < 2^61).
@@ -89,12 +92,14 @@ def make_simhash_udf(shingle_k: int = 2, seed: int = 42):
     """Returns a pandas UDF text -> long 64-bit SimHash fingerprint.
 
     Per doc: 64-bit blake2b hashes of k-word shingles, bit-vote, sign-pack.
+    Empty/None docs get NULL (same rationale as MinHash: a constant
+    fingerprint would co-bucket every empty doc in every chunk block).
     """
     salt = seed.to_bytes(8, "little")
 
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        out: list = [None] * len(texts)
         for i, t in enumerate(texts):
             if not t:
                 continue
@@ -127,8 +132,8 @@ def make_simhash_udf(shingle_k: int = 2, seed: int = 42):
             majority = hs.size / 2.0
             for bit in np.nonzero(bits > majority)[0]:
                 fp |= np.uint64(1) << np.uint64(bit)
-            out[i] = fp.astype(np.int64)
-        return pd.Series(out)
+            out[i] = int(fp.astype(np.int64))
+        return pd.Series(out, dtype="object")
 
     return simhash_udf
 
@@ -169,13 +174,14 @@ def make_winnow_udf(gram_chars: int = 64, window: int = 48):
 
 
 def minhash_signature(text: str, num_perm: int = 128, shingle_k: int = 5,
-                      seed: int = 42) -> np.ndarray:
+                      seed: int = 42) -> np.ndarray | None:
     """Single-doc reference implementation (tests): exact same math as the
-    UDF, via python ints (no overflow concerns)."""
+    UDF, via python ints (no overflow concerns). None for empty docs,
+    mirroring the UDF's NULL-signature contract."""
     a, b = _perm_params(num_perm, seed)
     x = _shingle_hashes(text, shingle_k)
     if x.size == 0:
-        return np.full(num_perm, _MERSENNE61, dtype=np.int64)
+        return None
     sig = np.empty(num_perm, dtype=np.int64)
     for j in range(num_perm):
         vals = (int(a[j]) * x.astype(object) + int(b[j])) % _MERSENNE61

@@ -118,7 +118,12 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     all_pairs_cap: int = 64,
 ) -> DataFrame:
-    """Distinct candidate pairs from MinHash LSH banding."""
+    """Distinct candidate pairs from MinHash LSH banding.
+
+    NULL signatures (empty docs) are dropped before banding — they carry no
+    content to match and would otherwise co-bucket in every band.
+    """
+    docs = docs.filter(F.col(sig_col).isNotNull())
     # materialize the exploded band table: pairs_within_groups scans it
     # twice (bucket-size pre-agg + member semi-join), and recomputing the
     # explode per consumer doubles the stage
@@ -149,6 +154,8 @@ def simhash_candidate_pairs(
     """
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
+    # NULL fingerprints (empty docs) never enter a chunk block
+    docs = docs.filter(F.col(fp_col).isNotNull())
     # materialized for the same two-scan reason as the LSH band table
     chunks = docs.select(
         F.col(id_col).alias("_id"),

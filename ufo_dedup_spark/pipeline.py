@@ -65,7 +65,10 @@ class PipelineConfig:
     simhash_max_hamming: int = 3
 
     all_pairs_cap: int = 64
-    prefix_key_chars: int = 64
+    # MUST equal the prefix band's min-length gate (20): see
+    # prefix_candidate_pairs — a longer key misses 20-to-(key-1)-char
+    # prefix pairs entirely.
+    prefix_key_chars: int = 20
     # each doc keeps at most this many candidate partners (smallest ids
     # win, deterministic): bounds total verification work at K*n even when
     # a boilerplate cluster surfaces O(bands * cluster_size) candidates.
@@ -106,7 +109,16 @@ def prefix_candidate_pairs(
 ) -> DataFrame:
     """Docs sharing their first ``prefix_key_chars`` chars (lowered/trimmed):
     the candidate generator for the reference's 0.95 starts-with band, which
-    whole-document Jaccard LSH under-recalls."""
+    whole-document Jaccard LSH under-recalls.
+
+    The key length equals the band's 20-char minimum: the verification rule
+    fires for any >=20-char doc that is a prefix of a longer one, so a key
+    longer than 20 chars would hash a 20-63-char doc against a different
+    (shorter) string than its superstring's first-K chars and the true pair
+    would never share a bucket. Keying at exactly the minimum guarantees
+    every verifiable prefix pair collides; the coarser buckets this creates
+    are bounded by pairs_within_groups' star cap.
+    """
     key = F.xxhash64(
         F.substring(F.lower(F.trim(F.col("text"))), 1, cfg.prefix_key_chars)
     )
@@ -165,11 +177,23 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    w_doc = Window.partitionBy("id_b").orderBy(F.col("id_a").asc())
+    # Per-doc fan-in cap, applied on BOTH sides of the pair: an edge survives
+    # if it is within either endpoint's K nearest (smallest-id) partners.
+    # A one-sided cap (keep K smallest id_a per id_b) can disconnect a doc
+    # entirely — a doc that is the smaller id in all of its candidate pairs
+    # has every edge pruned by partners that each already hold K smaller-id
+    # candidates. The union keep guarantees every doc with >=1 candidate
+    # retains >=1 edge, so cluster connectivity survives the cap.
+    w_b = Window.partitionBy("id_b").orderBy(F.col("id_a").asc())
+    w_a = Window.partitionBy("id_a").orderBy(F.col("id_b").asc())
     return (
-        out.withColumn("_rn", F.row_number().over(w_doc))
-        .filter(F.col("_rn") <= cfg.max_candidates_per_doc)
-        .drop("_rn")
+        out.withColumn("_rb", F.row_number().over(w_b))
+        .withColumn("_ra", F.row_number().over(w_a))
+        .filter(
+            (F.col("_rb") <= cfg.max_candidates_per_doc)
+            | (F.col("_ra") <= cfg.max_candidates_per_doc)
+        )
+        .drop("_rb", "_ra")
     )
 
 
