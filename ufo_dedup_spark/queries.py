@@ -718,6 +718,484 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ETL surface: source date parsers (F6), data-fix battery (F5), cleanup (F9)
+# ---------------------------------------------------------------------------
+# Raw inputs are constructed deterministically from testdata columns
+# (event_id/orderkey arms pick the dialect variant), parsed with the
+# engine's Column-expression parsers; each oracle computes the EXPECTED
+# output independently from the underlying timestamp/date semantics — it
+# does not re-implement the parser, so a parser bug cannot self-confirm.
+
+
+@register(
+    "source_dates_parsed",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 5 IN (0, 2)
+                    THEN strftime(ts, '%Y-%m-%d') || 'T' || strftime(ts, '%H:%M')
+                WHEN event_id % 5 = 1 THEN strftime(ts, '%Y-%m-%d')
+                ELSE NULL END AS nuforc_iso,
+           CASE WHEN event_id % 4 IN (0, 2)
+                    THEN strftime(ts, '%Y-%m-%d') || 'T' || strftime(ts, '%H:%M')
+                WHEN event_id % 4 = 1 THEN strftime(ts, '%Y-%m-%d')
+                ELSE NULL END AS mufon_iso,
+           CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d')
+                WHEN strftime(ts, '%H:%M:%S') = '00:00:00'
+                    THEN strftime(ts, '%Y-%m-%d')
+                ELSE strftime(ts, '%Y-%m-%d') || 'T' || strftime(ts, '%H:%M:%S')
+                END AS updb_iso
+    FROM events
+    """,
+)
+def source_dates_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: NUFORC/MUFON/UPDB date dialects constructed from events.ts and
+    parsed back — the oracle derives expectations from ts directly, so the
+    MUFON arm round-trips 12h -> 24h conversion against the true hour."""
+    from ufo_dedup_spark.functions.dates import (
+        mufon_date_iso_col,
+        nuforc_date_iso_col,
+        updb_date_iso_col,
+    )
+
+    e = _read(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    hm = F.date_format("ts", "HH:mm")
+    hms = F.date_format("ts", "HH:mm:ss")
+    hh = F.hour("ts")
+    mi = F.date_format("ts", "mm")
+    h12 = F.when(hh % 12 == 0, F.lit(12)).otherwise(hh % 12).cast("string")
+    ampm = F.when(hh < 12, F.lit("AM")).otherwise(F.lit("PM"))
+    a5 = F.pmod("event_id", F.lit(5))
+    a4 = F.pmod("event_id", F.lit(4))
+    a3 = F.pmod("event_id", F.lit(3))
+
+    nuforc_raw = (
+        F.when(a5 == 0, F.concat(F.lit(" "), d, F.lit(" "), hm, F.lit(" Local")))
+        .when(a5 == 1, d)
+        .when(a5 == 2, F.concat(d, F.lit(" "), hm, F.lit(" Pacific")))
+        .when(a5 == 3, F.lit("sometime in March"))
+        .otherwise(F.lit(""))
+    )
+    mufon_raw = (
+        F.when(a4 == 0, F.concat(d, F.lit("\n"), h12, F.lit(":"), mi, ampm))
+        .when(a4 == 1, d)
+        .when(a4 == 2, F.concat(d, F.lit("\n"), hm))
+        .otherwise(F.lit("sometime"))
+    )
+    updb_raw = F.when(a3 == 0, F.concat(d, F.lit(" 00:00:00"))).otherwise(
+        F.concat(d, F.lit(" "), hms)
+    )
+    return e.select(
+        "event_id",
+        nuforc_date_iso_col(nuforc_raw).alias("nuforc_iso"),
+        mufon_date_iso_col(mufon_raw).alias("mufon_iso"),
+        updb_date_iso_col(updb_raw).alias("updb_iso"),
+    )
+
+
+@register(
+    "ufocat_dates_parsed",
+    """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS VARCHAR) AS yr,
+               strftime(o_orderdate, '%m') AS mm,
+               strftime(o_orderdate, '%d') AS dd,
+               lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') AS hh2,
+               lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') AS mi2
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE (CASE WHEN o_orderkey % 7 = 0 THEN yr || '-01-01'
+                           ELSE yr || '-' || mm || '-' || dd END)
+                     || (CASE WHEN o_orderkey % 5 IN (1, 2, 3)
+                              THEN 'T' || hh2 || ':' || mi2 ELSE '' END)
+                END AS ufocat_iso
+    FROM c
+    """,
+)
+def ufocat_dates_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: UFOCAT split-field parser over constructed Y/M/D/time fields:
+    arms exercise junk year (poison), out-of-range month (-> -01-01), and
+    the ':' / 4-digit / '.' time dialects."""
+    from ufo_dedup_spark.functions.dates import ufocat_date_col
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    yr = F.year("o_orderdate").cast("string")
+    mo = F.month("o_orderdate").cast("string")
+    dy = F.dayofmonth("o_orderdate").cast("string")
+    hh2 = F.lpad(F.pmod(k, F.lit(24)).cast("string"), 2, "0")
+    mi2 = F.lpad(F.pmod(k, F.lit(60)).cast("string"), 2, "0")
+    a5 = F.pmod(k, F.lit(5))
+
+    y_field = F.when(F.pmod(k, F.lit(11)) == 0, F.lit("abc")).otherwise(yr)
+    m_field = F.when(F.pmod(k, F.lit(7)) == 0, F.lit("13")).otherwise(mo)
+    t_field = (
+        F.when(a5 == 0, F.lit(None).cast("string"))
+        .when(a5 == 1, F.concat(hh2, F.lit(":"), mi2))
+        .when(a5 == 2, F.concat(hh2, mi2))
+        .when(a5 == 3, F.concat(hh2, F.lit("."), mi2))
+        .otherwise(F.lit("x"))
+    )
+    return o.select(
+        "o_orderkey",
+        ufocat_date_col(y_field, m_field, dy, t_field).alias("ufocat_iso"),
+    )
+
+
+@register(
+    "geldreich_dates_parsed",
+    """
+    SELECT o_orderkey,
+           CASE o_orderkey % 6
+                WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                WHEN 2 THEN strftime(o_orderdate, '%Y-%m') || '-01'
+                WHEN 3 THEN strftime(o_orderdate, '%Y') || '-01-01'
+                WHEN 4 THEN strftime(o_orderdate, '%Y') || '-01-01'
+                ELSE NULL END AS geldreich_iso
+    FROM orders
+    """,
+)
+def geldreich_dates_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: geldreich free-text dialects built from o_orderdate: M/D/YYYY,
+    M/D/YY (pivot-year round trip: TPC-H years 1992-98 -> 19xx), M/YYYY,
+    'Summer YYYY', bare year, unparseable."""
+    from ufo_dedup_spark.functions.dates import geldreich_date_iso_col
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    yr = F.year("o_orderdate").cast("string")
+    yy = F.lpad(F.pmod(F.year("o_orderdate"), F.lit(100)).cast("string"), 2, "0")
+    mo = F.month("o_orderdate").cast("string")
+    dy = F.dayofmonth("o_orderdate").cast("string")
+    a6 = F.pmod(k, F.lit(6))
+    raw = (
+        F.when(a6 == 0, F.concat_ws("/", mo, dy, yr))
+        .when(a6 == 1, F.concat_ws("/", mo, dy, yy))
+        .when(a6 == 2, F.concat_ws("/", mo, yr))
+        .when(a6 == 3, F.concat(F.lit("Summer "), yr))
+        .when(a6 == 4, yr)
+        .otherwise(F.lit("?"))
+    )
+    return o.select(
+        "o_orderkey", geldreich_date_iso_col(raw).alias("geldreich_iso")
+    )
+
+
+@register(
+    "sighting_fix_battery",
+    """
+    WITH c AS (
+        SELECT event_id, ts, event_type,
+               strftime(ts, '%Y-%m-%d') AS d,
+               strftime(ts, '%Y') AS yr,
+               strftime(ts, '%m') AS mm,
+               CAST(strftime(ts, '%H') AS INTEGER) AS hh,
+               strftime(ts, '%M') AS mi
+        FROM events
+    )
+    SELECT event_id,
+           CASE event_id % 6
+                WHEN 0 THEN NULL
+                WHEN 1 THEN d
+                WHEN 2 THEN yr
+                WHEN 3 THEN yr || '-' || mm
+                WHEN 4 THEN '2001-02'
+                ELSE d END AS date_event,
+           CASE WHEN event_id % 6 = 5
+                THEN CAST(CASE WHEN hh % 12 = 0 THEN 12 ELSE hh % 12 END
+                          AS VARCHAR)
+                     || ':' || mi || (CASE WHEN hh < 12 THEN 'AM' ELSE 'PM' END)
+                ELSE NULL END AS time_raw,
+           CASE event_type
+                WHEN 'click' THEN 'Fireball'
+                WHEN 'view' THEN 'V-Shape'
+                WHEN 'purchase' THEN 'Ps'
+                WHEN 'signup' THEN NULL
+                ELSE 'Cigar' END AS shape,
+           CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+               AS description
+    FROM c
+    """,
+)
+def sighting_fix_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: the ordered fix battery applied to dirty sighting rows built from
+    events — year-0000 nulling, month-00/day-00/impossible truncation, the
+    newline date split, shape titlecase+typo+junk, placeholder and razor
+    boilerplate stripping. Oracle derives each expected output from the
+    clean timestamp, independent of the battery's implementation."""
+    from ufo_dedup_spark.functions.fixes import apply_data_fixes
+
+    e = _read(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    yr = F.date_format("ts", "yyyy")
+    mm = F.date_format("ts", "MM")
+    hh = F.hour("ts")
+    mi = F.date_format("ts", "mm")
+    h12 = F.when(hh % 12 == 0, F.lit(12)).otherwise(hh % 12).cast("string")
+    ampm = F.when(hh < 12, F.lit("AM")).otherwise(F.lit("PM"))
+    a6 = F.pmod("event_id", F.lit(6))
+
+    date_event = (
+        F.when(a6 == 0, F.concat(F.lit("0000-"), mm, F.lit("-15")))
+        .when(a6 == 1, d)
+        .when(a6 == 2, F.concat(yr, F.lit("-00-00")))
+        .when(a6 == 3, F.concat(yr, F.lit("-"), mm, F.lit("-00")))
+        .when(a6 == 4, F.lit("2001-02-30"))
+        .otherwise(F.concat(d, F.lit("\n"), h12, F.lit(":"), mi, ampm))
+    )
+    shape = (
+        F.when(F.col("event_type") == "click", F.lit("frieball"))
+        .when(F.col("event_type") == "view", F.lit("v-shape"))
+        .when(F.col("event_type") == "purchase", F.lit("ps"))
+        .when(F.col("event_type") == "signup", F.lit("1"))
+        .otherwise(F.lit("CIGAR"))
+    )
+    description = F.when(
+        F.pmod("event_id", F.lit(2)) == 0, F.lit("[MISSING DATA]")
+    ).otherwise(
+        F.concat(
+            F.lit("Submitted by razor via e-mail template text "),
+            F.lit("Investigator Notes: "),
+            F.col("event_type"),
+        )
+    )
+    dirty = e.select(
+        "event_id",
+        F.lit("MUFON").alias("source"),
+        date_event.alias("date_event"),
+        F.lit(None).cast("string").alias("time_raw"),
+        shape.alias("shape"),
+        description.alias("description"),
+    )
+    return apply_data_fixes(dirty).select(
+        "event_id", "date_event", "time_raw", "shape", "description"
+    )
+
+
+@register(
+    "coord_repair",
+    """
+    WITH c AS (
+        SELECT event_id,
+               CASE event_id % 4
+                    WHEN 0 THEN value
+                    WHEN 1 THEN value * 100
+                    WHEN 2 THEN -value * 3000
+                    ELSE NULL END AS v
+        FROM events
+    )
+    SELECT event_id,
+           CASE WHEN v IS NULL THEN NULL
+                WHEN v BETWEEN -180 AND 180 THEN v
+                WHEN v / 10 BETWEEN -180 AND 180 THEN ROUND(v / 10, 6)
+                WHEN v / 100 BETWEEN -180 AND 180 THEN ROUND(v / 100, 6)
+                WHEN v / 1000 BETWEEN -180 AND 180 THEN ROUND(v / 1000, 6)
+                WHEN v / 10000 BETWEEN -180 AND 180 THEN ROUND(v / 10000, 6)
+                ELSE NULL END AS lon_fixed
+    FROM c
+    """,
+)
+def coord_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/P6: the /10^k coordinate repair cascade over synthetic
+    out-of-range longitudes (fix_coords.py:59-95 semantics)."""
+    from ufo_dedup_spark.functions.fixes import repair_coordinate_col
+
+    e = _read(spark, sf_dir, "events")
+    a4 = F.pmod("event_id", F.lit(4))
+    v = (
+        F.when(a4 == 0, F.col("value"))
+        .when(a4 == 1, F.col("value") * 100)
+        .when(a4 == 2, -F.col("value") * 3000)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return e.select(
+        "event_id", repair_coordinate_col(v, 180.0).alias("lon_fixed")
+    )
+
+
+@register(
+    "enrich_fill_nulls",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS INTEGER) AS bkt,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE 'H' || CAST(doc_id % 7 AS VARCHAR) END AS hynek,
+               CASE WHEN doc_id % 4 = 0 THEN NULL
+                    ELSE 'S' || CAST(doc_id % 5 AS VARCHAR) END AS shape
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    s AS (
+        SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS INTEGER) AS bkt,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE 'h' || CAST(doc_id % 11 AS VARCHAR) END AS hynek,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END AS shape
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    best AS (
+        SELECT lang, bkt, hynek, shape FROM (
+            SELECT lang, bkt, hynek, shape,
+                   row_number() OVER (PARTITION BY lang, bkt
+                                      ORDER BY doc_id) AS rn
+            FROM s WHERE hynek IS NOT NULL OR shape IS NOT NULL
+        ) WHERE rn = 1
+    )
+    SELECT t.doc_id,
+           COALESCE(t.hynek, b.hynek) AS hynek,
+           COALESCE(t.shape, b.shape) AS shape
+    FROM t LEFT JOIN best b ON t.lang = b.lang AND t.bkt = b.bkt
+    """,
+)
+def enrich_fill_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: sidecar -> canonical metadata transfer on a blocking key,
+    first-record-with-metadata pick, fill-NULL-only (enrich.py:104-162
+    semantics over documents-derived frames)."""
+    from ufo_dedup_spark.operators.enrich import enrich_fill_nulls
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50.0).cast("int").alias("bkt"),
+    )
+    k = F.col("doc_id")
+    target = d.filter(k % 2 == 0).select(
+        "doc_id",
+        "lang",
+        "bkt",
+        F.when(k % 3 != 0, F.concat(F.lit("H"), (k % 7).cast("string"))).alias(
+            "hynek"
+        ),
+        F.when(k % 4 != 0, F.concat(F.lit("S"), (k % 5).cast("string"))).alias(
+            "shape"
+        ),
+    )
+    sidecar = d.filter(k % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "bkt",
+        F.when(k % 5 != 0, F.concat(F.lit("h"), (k % 11).cast("string"))).alias(
+            "hynek"
+        ),
+        F.when(k % 3 != 0, F.concat(F.lit("s"), (k % 7).cast("string"))).alias(
+            "shape"
+        ),
+    )
+    out = enrich_fill_nulls(
+        target, sidecar, keys=["lang", "bkt"], fill_cols=["hynek", "shape"],
+        order_col="doc_id",
+    )
+    return out.select("doc_id", "hynek", "shape")
+
+
+_GEO_GAZ_SQL = """
+        SELECT UPPER(p_brand) AS city,
+               'S' || CAST(p_size % 3 AS VARCHAR) AS admin1,
+               split_part(p_type, ' ', 1) AS country,
+               p_retailprice % 90 AS lat,
+               p_retailprice % 180 - 90 AS lng,
+               p_partkey AS pop
+        FROM part
+"""
+
+
+@register(
+    "geocode_cascade",
+    f"""
+    WITH gaz AS ({_GEO_GAZ_SQL}),
+    ex AS (
+        SELECT city, admin1, country, lat, lng FROM (
+            SELECT *, row_number() OVER (PARTITION BY city, admin1, country
+                                         ORDER BY pop DESC, lat, lng) AS rn
+            FROM gaz) WHERE rn = 1
+    ),
+    ns AS (
+        SELECT city, country, lat, lng FROM (
+            SELECT *, row_number() OVER (PARTITION BY city, country
+                                         ORDER BY pop DESC, lat, lng) AS rn
+            FROM gaz) WHERE rn = 1
+    ),
+    co AS (
+        SELECT city, lat, lng FROM (
+            SELECT *, row_number() OVER (PARTITION BY city
+                                         ORDER BY pop DESC, lat, lng) AS rn
+            FROM gaz) WHERE rn = 1
+    ),
+    loc AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0 THEN 'NOWHERE'
+                    ELSE 'BRAND#' || CAST(1 + c_custkey % 25 AS VARCHAR)
+                    END AS city_u,
+               CASE c_custkey % 4
+                    WHEN 1 THEN NULL
+                    WHEN 2 THEN 'S9'
+                    ELSE 'S' || CAST(c_custkey % 3 AS VARCHAR) END AS state_n,
+               CASE c_custkey % 5
+                    WHEN 0 THEN 'STANDARD'
+                    WHEN 1 THEN 'SMALL'
+                    WHEN 2 THEN 'MEDIUM'
+                    WHEN 3 THEN NULL
+                    ELSE 'XX' END AS cc
+        FROM customer
+    )
+    SELECT l.c_custkey,
+           COALESCE(e.lat, n.lat, c3.lat) AS lat,
+           COALESCE(e.lng, n.lng, c3.lng) AS lng,
+           CASE WHEN e.lat IS NOT NULL THEN 'exact'
+                WHEN n.lat IS NOT NULL THEN 'city_country'
+                WHEN c3.lat IS NOT NULL THEN 'city_only'
+                ELSE NULL END AS geocode_method
+    FROM loc l
+    LEFT JOIN ex e ON l.city_u = e.city AND l.state_n = e.admin1
+                   AND l.cc = e.country
+    LEFT JOIN ns n ON l.city_u = n.city AND l.cc = n.country
+    LEFT JOIN co c3 ON l.city_u = c3.city
+    """,
+)
+def geocode_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: the 3-level gazetteer fallback with max-pop pick over a part-
+    derived gazetteer and customer-derived dirty locations (missing states,
+    wrong states, missing/unknown countries, unknown cities)."""
+    from ufo_dedup_spark.operators.geocode import geocode_cascade
+
+    p = _read(spark, sf_dir, "part")
+    gaz = p.select(
+        F.upper("p_brand").alias("city"),
+        F.concat(F.lit("S"), (F.col("p_size") % 3).cast("string")).alias(
+            "admin1"
+        ),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("country"),
+        (F.col("p_retailprice") % 90).alias("lat"),
+        (F.col("p_retailprice") % 180 - 90).alias("lng"),
+        F.col("p_partkey").alias("pop"),
+    )
+    k = F.col("c_custkey")
+    loc = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(k % 13 == 0, F.lit("Nowhere"))
+        .otherwise(F.concat(F.lit("Brand#"), (1 + k % 25).cast("string")))
+        .alias("city"),
+        F.when(k % 4 == 1, F.lit(None).cast("string"))
+        .when(k % 4 == 2, F.lit("S9"))
+        .when(k % 4 == 3, F.concat(F.lit("s"), (k % 3).cast("string")))
+        .otherwise(F.concat(F.lit("S"), (k % 3).cast("string")))
+        .alias("state"),
+        # mixed case exercises normalize_country_col's upper-passthrough
+        F.when(k % 5 == 0, F.lit("Standard"))
+        .when(k % 5 == 1, F.lit("Small"))
+        .when(k % 5 == 2, F.lit("medium"))
+        .when(k % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("XX"))
+        .alias("country"),
+    )
+    out = geocode_cascade(loc, gaz)
+    return out.select("c_custkey", "lat", "lng", "geocode_method")
+
+
 # ---- non-SQL-expressible ops: rows-only driver check, pinned by pytest ----
 
 
