@@ -7,10 +7,12 @@ import numpy as np
 import pytest
 
 from ufo_dedup_spark.operators.similarity_search import (
+    ann_near_dup_pairs,
     cosine_topk,
     deterministic_centroids,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_centroids,
 )
 
 
@@ -77,3 +79,63 @@ def test_near_dup_pairs(spark, emb):
     assert (7, 20) in got and (7, 21) in got and (20, 21) in got
     for v in got.values():
         assert v >= 0.95
+
+
+def test_ann_near_dup_full_probe_equals_bruteforce(spark, emb):
+    """With n_probe == n_centroids every pair shares a bucket, so the IVF
+    path must reproduce the brute-force result EXACTLY."""
+    df, base = emb
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in ann_near_dup_pairs(
+            df, threshold=0.3, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert approx == brute
+
+
+def test_ann_near_dup_partial_probe_recall(spark, emb):
+    """At n_probe=2 the planted tight cluster (7, 20, 21) must be fully
+    recovered — near-identical vectors share their nearest centroid."""
+    df, base = emb
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann_near_dup_pairs(
+            df, threshold=0.95, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    assert {(7, 20), (7, 21), (20, 21)} <= got
+
+
+def test_ann_plan_has_no_cartesian(spark, emb):
+    """Scale contract: the IVF pair generator must join on the bucket key —
+    no broadcast nested loop / cartesian product in the plan."""
+    df, base = emb
+    plan = (
+        ann_near_dup_pairs(df, threshold=0.9, n_centroids=8, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroids_deterministic_and_clustered(spark, emb):
+    df, base = emb
+    c1 = kmeans_centroids(df, n_centroids=4, iters=3)
+    c2 = kmeans_centroids(df, n_centroids=4, iters=3)
+    assert np.allclose(c1, c2)
+    assert c1.shape == (4, 16)
+    # Lloyd iterations must reduce (or hold) spherical quantization error
+    # vs the raw init
+    init = kmeans_centroids(df, n_centroids=4, iters=0)
+
+    def err(cent):
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        m = base / np.linalg.norm(base, axis=1, keepdims=True)
+        return float((1 - (m @ cn.T).max(axis=1)).sum())
+
+    assert err(c1) <= err(init) + 1e-9

@@ -1224,6 +1224,23 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
+@register("ann_near_dup_pairs")  # no oracle: probe set is impl-defined;
+# pytest pins exact equality with the brute-force oracle at full probe
+def ann_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup pairs — the scale path replacing the O(n^2)
+    brute-force join: k-means centroids, multi-probe bucket assignment,
+    pairs generated only within shared buckets (shuffle on bucket key, no
+    cartesian)."""
+    from ufo_dedup_spark.operators.similarity_search import ann_near_dup_pairs
+
+    return ann_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
 @register("ivf_topk_embeddings")  # no oracle: probe set is impl-defined
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors (pytest asserts equality
