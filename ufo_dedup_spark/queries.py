@@ -343,13 +343,30 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Block admission bounds for _doc_pairs (reference tier-3 shape,
+# dedup.py:505-515: blocks <= N rows AND >= 2 distinct sources). A block
+# over the cap contributes |block|^2 pairs — at 100x corpus growth the
+# (lang, len_bucket) key is a skew trap (4 langs x dozens of buckets), so
+# oversized blocks are EXCLUDED by design here, exactly like the
+# reference's tier-3 ">20 rows per date" rule; their content is covered by
+# the LSH pipeline (the scale path), not the blocking demo.
+_BLOCK_MAX_ROWS = 200
+_BLOCK_MIN_SOURCES = 2
+
+
 def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking candidate pairs over documents: key (lang, n_chars//100),
-    cross-source only, canonical doc_id_a < doc_id_b, exact token Jaccard.
+    """Blocking candidate pairs over documents: key (lang, n_chars//100)
+    with tier-3-style block admission (<= _BLOCK_MAX_ROWS rows, >=
+    _BLOCK_MIN_SOURCES sources), cross-source only, canonical
+    doc_id_a < doc_id_b, exact token Jaccard.
 
     The documents-table analog of the reference's (date, city, state)
-    blocking join (J2) + K1 scoring, all JVM-side.
+    blocking join (J2) + admission (A1) + K1 scoring, all JVM-side. The
+    admission routes through operators/blocking.admitted_blocks — the same
+    machinery the dedup pipeline uses — so the flagship demo is also the
+    plan that survives 100x data growth.
     """
+    from ufo_dedup_spark.operators.blocking import admitted_blocks
     # tokens hashed to longs: array_intersect on longs is ~20x cheaper than
     # on strings, and Jaccard values are identical modulo 64-bit collisions
     # (probability ~1e-16 per pair), so the DuckDB string-list oracle still
@@ -367,6 +384,13 @@ def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks"),
     )
+    adm = admitted_blocks(
+        d,
+        ["lang", "len_bucket"],
+        max_rows=_BLOCK_MAX_ROWS,
+        min_distinct=("source", _BLOCK_MIN_SOURCES),
+    )
+    d = d.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi")
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("source").alias("source_a"),
@@ -405,6 +429,12 @@ _DOC_PAIRS_SQL = f"""
                CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
                {_DTOKS} AS tk
         FROM documents
+    ),
+    admitted AS (
+        SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket
+        FROM documents
+        GROUP BY 1, 2
+        HAVING COUNT(*) <= 200 AND COUNT(DISTINCT source) >= 2
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
            ROUND(
@@ -416,6 +446,8 @@ _DOC_PAIRS_SQL = f"""
     JOIN toks b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id AND a.source <> b.source
+    JOIN admitted ad
+      ON a.lang = ad.lang AND a.len_bucket = ad.len_bucket
 """
 
 
