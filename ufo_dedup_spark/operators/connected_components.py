@@ -58,9 +58,17 @@ def _small_star(nbr: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
-    """(id_a, id_b) edge list -> (id, cluster_id = component min id)."""
+    """(id_a, id_b) edge list -> (id, cluster_id = component min id).
+
+    Round materialization rides the convergence-check job: each round ends
+    in a LAZY localCheckpoint — the logical plan truncates immediately
+    (a star-op round references its input plan three times, so without
+    truncation the plan tree grows exponentially with rounds), and the
+    fingerprint aggregation is the first consumer, so ONE job both
+    materializes the round and decides convergence — half the driver jobs
+    of the eager-checkpoint formulation.
+    """
     uv = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    nbr = _symmetrize(uv).localCheckpoint(eager=True)
 
     def _fingerprint(df: DataFrame) -> tuple:
         """Cheap one-job convergence fingerprint of a distinct edge set:
@@ -72,12 +80,13 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    fp = _fingerprint(nbr)
+    nbr = _symmetrize(uv).localCheckpoint(eager=False)
+    fp = _fingerprint(nbr)  # materializes nbr
     for _ in range(max_iter):
         after_large = _symmetrize(_large_star(nbr))
         after_small = _small_star(after_large)
-        nbr = _symmetrize(after_small).localCheckpoint(eager=True)
-        fp2 = _fingerprint(nbr)
+        nbr = _symmetrize(after_small).localCheckpoint(eager=False)
+        fp2 = _fingerprint(nbr)  # materializes this round
         if fp2 == fp:
             break
         fp = fp2

@@ -124,15 +124,17 @@ def lsh_candidate_pairs(
     content to match and would otherwise co-bucket in every band.
     """
     docs = docs.filter(F.col(sig_col).isNotNull())
-    # materialize the exploded band table: pairs_within_groups scans it
-    # twice (bucket-size pre-agg + member semi-join), and recomputing the
-    # explode per consumer doubles the stage
+    # NOT materialized: pairs_within_groups scans the band table twice
+    # (bucket-size pre-agg + member semi-join), but the upstream signature
+    # frame is already checkpointed by the pipeline, so each scan just
+    # re-runs the explode — one codegen stage, cheaper than an extra
+    # materialization job + block-manager copy of the 42x-exploded table
     buckets = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(band_hashes_col(sig_col, bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
-    ).localCheckpoint(eager=True)
+    )
     pairs = pairs_within_groups(
         buckets, ["band_idx", "band_hash"], "_id", all_pairs_cap
     )
@@ -156,7 +158,7 @@ def simhash_candidate_pairs(
     mask = (1 << chunk_bits) - 1
     # NULL fingerprints (empty docs) never enter a chunk block
     docs = docs.filter(F.col(fp_col).isNotNull())
-    # materialized for the same two-scan reason as the LSH band table
+    # not materialized — same reasoning as the LSH band table above
     chunks = docs.select(
         F.col(id_col).alias("_id"),
         F.col(fp_col).alias("_fp"),
@@ -170,7 +172,7 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
-    ).localCheckpoint(eager=True)
+    )
     pairs = pairs_within_groups(
         chunks, ["chunk_idx", "chunk_val"], "_id", all_pairs_cap,
         extra_cols=["_fp"],

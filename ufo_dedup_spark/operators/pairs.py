@@ -97,6 +97,46 @@ def distinct_participants(pairs: DataFrame) -> DataFrame:
     )
 
 
+def verification_report(pairs: DataFrame) -> DataFrame:
+    """The reference's end-of-run verification report (dedup.py:598-687) as
+    ONE long-format DataFrame: per-method stats, score-bucket histogram,
+    and the distinct-participant count, unioned with a section tag.
+
+    Columns: (section, key, n, avg_score, min_score, max_score). The
+    reference prints these from five separate SQLite queries; here the
+    three sections are three independent aggregations over one (cached)
+    pair table, unioned for a single sink/collect.
+    """
+    d = F.lit(None).cast("double")
+    methods = method_stats(pairs).select(
+        F.lit("method").alias("section"),
+        F.col("method").alias("key"),
+        F.col("n_pairs").alias("n"),
+        "avg_score",
+        "min_score",
+        "max_score",
+    )
+    buckets = score_buckets(pairs).select(
+        F.lit("bucket").alias("section"),
+        F.col("bucket").alias("key"),
+        F.col("n_pairs").alias("n"),
+        d.alias("avg_score"),
+        d.alias("min_score"),
+        d.alias("max_score"),
+    )
+    participants = distinct_participants(pairs).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("participants").alias("section"),
+        F.lit("all").alias("key"),
+        "n",
+        d.alias("avg_score"),
+        d.alias("min_score"),
+        d.alias("max_score"),
+    )
+    return methods.unionByName(buckets).unionByName(participants)
+
+
 def top_pairs(pairs: DataFrame, k: int = 10) -> DataFrame:
     """Top-k by score (dedup.py:648-663) — TakeOrderedAndProject, no full
     sort. Deterministic tie-break on the pair ids."""

@@ -517,6 +517,64 @@ def doc_pair_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dedup_report",
+    f"""
+    WITH p AS (
+        SELECT id_a, id_b, 'cross_block' AS method, jaccard AS score
+        FROM ({_DOC_PAIRS_SQL})
+    ),
+    methods AS (
+        SELECT 'method' AS section, method AS key, COUNT(*) AS n,
+               ROUND(AVG(score), 3) AS avg_score,
+               ROUND(MIN(score), 3) AS min_score,
+               ROUND(MAX(score), 3) AS max_score
+        FROM p GROUP BY method
+    ),
+    buckets AS (
+        SELECT 'bucket' AS section,
+               CASE WHEN score >= 0.9 THEN '0.9-1.0'
+                    WHEN score >= 0.7 THEN '0.7-0.9'
+                    WHEN score >= 0.5 THEN '0.5-0.7'
+                    WHEN score >= 0.3 THEN '0.3-0.5'
+                    ELSE '0.0-0.3' END AS key,
+               COUNT(*) AS n,
+               NULL AS avg_score, NULL AS min_score, NULL AS max_score
+        FROM p GROUP BY 2
+    ),
+    participants AS (
+        SELECT 'participants' AS section, 'all' AS key,
+               COUNT(DISTINCT id) AS n,
+               NULL AS avg_score, NULL AS min_score, NULL AS max_score
+        FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+    )
+    SELECT section, key, n,
+           CAST(avg_score AS DOUBLE) AS avg_score,
+           CAST(min_score AS DOUBLE) AS min_score,
+           CAST(max_score AS DOUBLE) AS max_score
+    FROM (SELECT * FROM methods UNION ALL SELECT * FROM buckets
+          UNION ALL SELECT * FROM participants)
+    """,
+)
+def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's verification report (dedup.py:598-687) as one
+    long-format frame over the blocking-pair table: method stats + score
+    buckets + participant count."""
+    from ufo_dedup_spark.operators.pairs import verification_report
+
+    pairs = (
+        _doc_pairs(spark, sf_dir)
+        .select(
+            "id_a",
+            "id_b",
+            F.lit("cross_block").alias("method"),
+            F.col("jaccard").alias("score"),
+        )
+        .localCheckpoint(eager=True)  # three report sections reuse it
+    )
+    return verification_report(pairs)
+
+
+@register(
     "lang_block_admission",
     """
     SELECT lang FROM documents
