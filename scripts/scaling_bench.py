@@ -20,7 +20,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(master: str, rows: int) -> dict:
+def run_level(master: str, rows: int, shuffle_partitions: int | None = None) -> dict:
+    env = dict(os.environ)
+    if shuffle_partitions:
+        # pin the JOB config across levels: only the core grant varies
+        env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(shuffle_partitions)
     out = subprocess.run(
         [
             sys.executable,
@@ -30,6 +34,7 @@ def run_level(master: str, rows: int) -> dict:
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=env,
     )
     if out.returncode != 0:
         sys.stderr.write(
@@ -51,6 +56,11 @@ def main():
                     help="legs per level; MIN elapsed wins (one-sided "
                          "shared-host noise: slow runs are contention, "
                          "fast runs are the machine)")
+    ap.add_argument("--shuffle-partitions", type=int, default=64,
+                    help="pinned job-level shuffle partition count used at "
+                         "BOTH levels (a real cluster holds this fixed "
+                         "while executor count varies); 0 = per-level "
+                         "core-count default")
     ap.add_argument("--update-bench-md", action="store_true")
     args = ap.parse_args()
 
@@ -61,8 +71,10 @@ def main():
 
     hw = hardware_efficiency(args.low, args.high)
 
+    sp = args.shuffle_partitions or None
+
     def best_of(master):
-        runs = [run_level(master, args.rows) for _ in range(args.reps)]
+        runs = [run_level(master, args.rows, sp) for _ in range(args.reps)]
         runs.sort(key=lambda r: r["elapsed_sec"])
         for a, b in zip(runs, runs[1:]):
             assert (a["pairs"], a["multi_clusters"]) == (

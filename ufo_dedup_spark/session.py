@@ -51,11 +51,20 @@ def build_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.index("[") + 1 : -1] if "[" in master else "8"
-        cores = os.cpu_count() or 8 if n == "*" else int(n)
-        # one shuffle partition per core: AQE splits skewed/huge partitions
-        # upward at runtime, so oversizing here only buys task overhead
-        shuffle_partitions = max(8, cores)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            # job-level override: on a real cluster shuffle.partitions is a
+            # JOB config that stays fixed while the executor count varies —
+            # scaling_bench pins it at both levels so the physical plan is
+            # identical and only the parallelism grant changes
+            shuffle_partitions = int(env_sp)
+        else:
+            n = master[master.index("[") + 1 : -1] if "[" in master else "8"
+            cores = os.cpu_count() or 8 if n == "*" else int(n)
+            # one shuffle partition per core: AQE splits skewed/huge
+            # partitions upward at runtime, so oversizing here only buys
+            # task overhead
+            shuffle_partitions = max(8, cores)
 
     builder = (
         SparkSession.builder.appName(app_name)
