@@ -91,6 +91,10 @@ def build_session(
         # sort stages spill (measured ~9% wall-clock at 100k docs); 20g is
         # comfortable on this 128GiB box without starving Python workers
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
