@@ -104,7 +104,13 @@ def main():
         "hardware": hw,
         "efficiency_vs_hardware": round(normalized, 3),
         "target": 0.8,
-        "pass": efficiency >= 0.8 or normalized >= 0.8,
+        # pass is keyed on the RAW efficiency against the published 0.8
+        # target — the hardware ceiling (pure-numpy processes, no JVM
+        # shuffle/GC) contextualizes a miss but must not convert it into a
+        # pass. pass_vs_hardware is reported separately.
+        "pass": efficiency >= 0.8,
+        "pass_raw": efficiency >= 0.8,
+        "pass_vs_hardware": normalized >= 0.8,
     }
     print(json.dumps(result))
 

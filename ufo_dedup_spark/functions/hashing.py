@@ -37,6 +37,16 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE61 = (1 << 61) - 1
 _MAX_U32 = (1 << 32) - 1
 
+# Version of the signature KERNELS (token/shingle/winnow hash construction,
+# permutation scheme, finalizers). Bump on ANY change that alters signature
+# bytes for the same (text, config) — it feeds the checkpoint fingerprint
+# (pipeline.run_pipeline_checkpointed) so stale candidate/verification
+# buckets computed under older kernels can never be resumed into a run that
+# would score them with new hashes.
+#   v1: round-1 crc32/blake2b per-position kernels
+#   v2: round-2 vectorized poly-rolling + splitmix64 kernels (current)
+SIGNATURE_VERSION = "sig-v2"
+
 # FNV-1a 64-bit prime: odd, so invertible mod 2^64 (needed to normalize
 # rolling hashes to position independence)
 _B64 = np.uint64(0x100000001B3)

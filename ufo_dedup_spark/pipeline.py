@@ -41,6 +41,15 @@ from ufo_dedup_spark.operators.substring import (
     verify_substring_pairs,
 )
 
+# The prefix band's minimum doc length AND its bucket-key length — a single
+# constant because the two must be equal: the verification rule fires for any
+# >=PREFIX_MIN_CHARS-char doc that is a prefix of a longer one, so a bucket
+# key longer than the minimum would hash a minimum-to-(key-1)-char doc
+# against a different (shorter) string than its superstring's first-K chars
+# and the true pair would never co-bucket. PipelineConfig validates
+# prefix_key_chars == PREFIX_MIN_CHARS at construction.
+PREFIX_MIN_CHARS = 20
+
 
 @dataclass
 class PipelineConfig:
@@ -65,10 +74,9 @@ class PipelineConfig:
     simhash_max_hamming: int = 3
 
     all_pairs_cap: int = 64
-    # MUST equal the prefix band's min-length gate (20): see
-    # prefix_candidate_pairs — a longer key misses 20-to-(key-1)-char
-    # prefix pairs entirely.
-    prefix_key_chars: int = 20
+    # MUST equal PREFIX_MIN_CHARS (validated in __post_init__): a longer key
+    # misses 20-to-(key-1)-char prefix pairs entirely.
+    prefix_key_chars: int = PREFIX_MIN_CHARS
     # each doc keeps at most this many candidate partners (smallest ids
     # win, deterministic): bounds total verification work at K*n even when
     # a boilerplate cluster surfaces O(bands * cluster_size) candidates.
@@ -86,6 +94,14 @@ class PipelineConfig:
 
     def __post_init__(self):
         assert self.bands * self.rows_per_band <= self.num_perm
+        if self.prefix_key_chars != PREFIX_MIN_CHARS:
+            raise ValueError(
+                f"prefix_key_chars must equal PREFIX_MIN_CHARS "
+                f"({PREFIX_MIN_CHARS}): the prefix band's bucket key and its "
+                f"min-length verification gate must match or prefix pairs "
+                f"straddling the key length never co-bucket (got "
+                f"{self.prefix_key_chars})"
+            )
 
 
 METHOD_PRIORITY = {"exact": 1, "minhash_lsh": 2, "simhash": 3, "prefix": 4,
@@ -126,7 +142,7 @@ def prefix_candidate_pairs(
         F.col("id").alias("_id"),
         key.alias("_pk"),
         F.length(F.trim("text")).alias("_len"),
-    ).filter(F.col("_len") >= 20)
+    ).filter(F.col("_len") >= PREFIX_MIN_CHARS)
     # one prefix key per doc -> pair uniqueness is structural, no distinct
     return pairs_within_groups(keyed, ["_pk"], "_id", cfg.all_pairs_cap).select(
         "id_a", "id_b"
@@ -252,8 +268,8 @@ def verify_candidate_pairs(
         F.lit(0.0)
     )
     is_prefix = (
-        (F.length("_ta") >= 20)
-        & (F.length("_tb") >= 20)
+        (F.length("_ta") >= PREFIX_MIN_CHARS)
+        & (F.length("_tb") >= PREFIX_MIN_CHARS)
         & (F.col("_ta").startswith(F.col("_tb")) | F.col("_tb").startswith(F.col("_ta")))
     )
     score = F.when(is_prefix, F.greatest(jac, F.lit(0.95))).otherwise(jac)
@@ -413,10 +429,17 @@ def run_pipeline_checkpointed(
     """
     from ufo_dedup_spark.checkpoint import CheckpointManager, config_fingerprint
     from ufo_dedup_spark.functions.extract import EXTRACTOR_VERSION
+    from ufo_dedup_spark.functions.hashing import SIGNATURE_VERSION
 
     cfg = cfg or PipelineConfig()
+    # SIGNATURE_VERSION is part of the fingerprint: a kernel rewrite changes
+    # signature bytes even when every cfg field matches, and resuming buckets
+    # computed under old hash functions would silently mix incompatible
+    # candidate sets.
     mgr = CheckpointManager(
-        spark, workdir, config_fingerprint(cfg, EXTRACTOR_VERSION, use_extractor)
+        spark,
+        workdir,
+        config_fingerprint(cfg, EXTRACTOR_VERSION, SIGNATURE_VERSION, use_extractor),
     )
 
     docs = mgr.stage(

@@ -50,17 +50,28 @@ def build_session(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    n = master[master.index("[") + 1 : -1] if "[" in master else "8"
+    cores = (os.cpu_count() or 8) if n == "*" else int(n)
     if shuffle_partitions is None:
-        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "").strip()
         if env_sp:
             # job-level override: on a real cluster shuffle.partitions is a
             # JOB config that stays fixed while the executor count varies —
             # scaling_bench pins it at both levels so the physical plan is
-            # identical and only the parallelism grant changes
-            shuffle_partitions = int(env_sp)
-        else:
-            n = master[master.index("[") + 1 : -1] if "[" in master else "8"
-            cores = os.cpu_count() or 8 if n == "*" else int(n)
+            # identical and only the parallelism grant changes.
+            # '0' / negative = "use the per-level core-count default"
+            # (scaling_bench's convention); non-numeric is a config error.
+            try:
+                env_val = int(env_sp)
+            except ValueError:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer "
+                    f"(got {env_sp!r}); unset it or use 0 for the "
+                    f"core-count default"
+                ) from None
+            if env_val > 0:
+                shuffle_partitions = env_val
+        if shuffle_partitions is None:
             # one shuffle partition per core: AQE splits skewed/huge
             # partitions upward at runtime, so oversizing here only buys
             # task overhead
@@ -86,11 +97,18 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # single-JVM local mode: the driver heap IS the executor heap, so
-        # size it for the task count — at 32 concurrent tasks an 8g heap
-        # leaves ~150MB of unified memory per task and the collect_list /
-        # sort stages spill (measured ~9% wall-clock at 100k docs); 20g is
-        # comfortable on this 128GiB box without starving Python workers
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # size it for the concurrent-task count, not a fixed number — at 32
+        # tasks an 8g heap leaves ~150MB of unified memory per task and the
+        # collect_list / sort stages spill (measured ~9% wall-clock at 100k
+        # docs). ~600MB/core with an 8g floor: 8g up to 13 cores, ~19g at
+        # 32, and a small-core host never demands more heap than it would
+        # have under the old 8g default. SPARK_GRAFT_DRIVER_MEM overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", f"{max(8 * 1024, 600 * cores)}m"
+            ),
+        )
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
