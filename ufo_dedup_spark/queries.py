@@ -1314,13 +1314,55 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
-@register("ann_near_dup_pairs")  # no oracle: probe set is impl-defined;
-# pytest pins exact equality with the brute-force oracle at full probe
+@register(
+    "ann_near_dup_pairs",
+    # Full-probe IVF (n_probe == n_centroids) is provably equal to the
+    # brute-force all-pairs join — every vector lands in every probed
+    # bucket, so all pairs co-occur and are scored exactly — which makes
+    # the exact pairwise SQL a valid oracle for the ANN code path.
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4
+           ) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4
+           ) >= 0.3
+    """,
+)
 def ann_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed near-dup pairs — the scale path replacing the O(n^2)
-    brute-force join: k-means centroids, multi-probe bucket assignment,
-    pairs generated only within shared buckets (shuffle on bucket key, no
-    cartesian)."""
+    """IVF-bucketed near-dup pairs, run at FULL probe width so the result is
+    mathematically identical to brute force and the exact pairwise SQL
+    oracle applies. The production (partial-probe) configuration is
+    registered separately as ann_near_dup_pairs_probed."""
+    from ufo_dedup_spark.operators.similarity_search import ann_near_dup_pairs
+
+    return ann_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_centroids=16,
+        n_probe=16,
+    )
+
+
+@register("ann_near_dup_pairs_probed")  # no oracle: partial-probe candidate
+# set is impl-defined; pytest asserts recall vs the brute oracle
+def ann_near_dup_pairs_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup pairs at production probe width — the scale
+    path replacing the O(n^2) brute-force join: k-means centroids,
+    multi-probe bucket assignment, pairs generated only within shared
+    buckets (shuffle on bucket key, no cartesian)."""
     from ufo_dedup_spark.operators.similarity_search import ann_near_dup_pairs
 
     return ann_near_dup_pairs(
