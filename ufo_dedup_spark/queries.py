@@ -1286,6 +1286,116 @@ def geocode_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "lat", "lng", "geocode_method")
 
 
+@register(
+    "historic_category_summary",
+    """
+    WITH sighting AS (
+      SELECT o_orderkey AS id,
+             CAST(o_orderkey % 3 AS INTEGER) AS source_db_id,
+             lpad(CAST(year(o_orderdate) - (o_orderkey % 23) * 60 AS VARCHAR),
+                  4, '0') || strftime(o_orderdate, '-%m-%d') AS date_event,
+             CASE o_orderkey % 5
+               WHEN 0 THEN '19/' || strftime(o_orderdate, '%m')
+               WHEN 1 THEN substr(
+                 lpad(CAST(year(o_orderdate) - (o_orderkey % 23) * 60
+                           AS VARCHAR), 4, '0'), 1, 3)
+                 || '/' || strftime(o_orderdate, '%m')
+               WHEN 2 THEN lpad(CAST(year(o_orderdate) - (o_orderkey % 23) * 60
+                                     AS VARCHAR), 4, '0')
+                 || '/' || strftime(o_orderdate, '%m')
+               WHEN 3 THEN '18/' || strftime(o_orderdate, '%m')
+               ELSE NULL
+             END AS date_event_raw
+      FROM orders
+    ),
+    src AS (
+      SELECT * FROM (VALUES (0, 'UFOCAT'), (1, 'NUFORC'), (2, 'UPDB'))
+        AS t(id, name)
+    ),
+    extracted AS (
+      SELECT * FROM sighting
+      WHERE date_event IS NOT NULL AND length(date_event) >= 4
+        AND CAST(substr(date_event, 1, 4) AS INTEGER) BETWEEN 1 AND 1900
+    ),
+    da AS (
+      SELECT src.name AS source_name,
+             CASE WHEN s.date_event_raw IS NOT NULL
+                       AND instr(s.date_event_raw, '/') > 0
+                  THEN substr(s.date_event_raw, 1,
+                              instr(s.date_event_raw, '/') - 1)
+             END AS raw_year_str,
+             CAST(substr(s.date_event, 1, 4) AS INTEGER) AS parsed_year
+      FROM extracted s JOIN src ON s.source_db_id = src.id
+    ),
+    cls AS (
+      SELECT source_name, parsed_year,
+        CASE
+          WHEN source_name = 'UFOCAT' AND length(raw_year_str) = 2
+               AND raw_year_str = '19' THEN 'ufocat_century_only'
+          WHEN source_name = 'UFOCAT' AND length(raw_year_str) = 3
+               THEN 'ufocat_3digit_review'
+          WHEN source_name = 'UFOCAT' AND length(raw_year_str) = 4
+               AND parsed_year < 1901 THEN 'ufocat_ancient'
+          WHEN source_name = 'UFOCAT' AND length(raw_year_str) = 2
+               AND raw_year_str != '19' THEN 'ufocat_2digit_ancient'
+          WHEN source_name != 'UFOCAT' THEN 'other_source_review'
+          ELSE 'unclassified'
+        END AS category
+      FROM da
+    )
+    SELECT category, source_name, COUNT(*) AS cnt,
+           MIN(parsed_year) AS min_year, MAX(parsed_year) AS max_year
+    FROM cls GROUP BY category, source_name
+    """,
+)
+def historic_category_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: the extract_historic analog — pre-cutoff filter + derived
+    date_analysis classification + the v_category_summary view, over a
+    sighting-shaped frame synthesized deterministically from orders
+    (variable-precision raw dates per o_orderkey residue; the oracle SQL
+    mirrors the synthesis and the reference's five ordered classification
+    rules, reference extract_historic.py:99-260)."""
+    from ufo_dedup_spark.operators.extract_historic import (
+        date_analysis,
+        pre_cutoff_sightings,
+        register_analysis_views,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    adj_year = F.year("o_orderdate") - (k % 23) * 60
+    year_str = F.lpad(adj_year.cast("string"), 4, "0")
+    month = F.date_format("o_orderdate", "MM")
+    sighting = o.select(
+        k.alias("id"),
+        (k % 3).cast("int").alias("source_db_id"),
+        F.concat(year_str, F.date_format("o_orderdate", "-MM-dd")).alias(
+            "date_event"
+        ),
+        F.when(k % 5 == 0, F.concat(F.lit("19/"), month))
+        .when(k % 5 == 1, F.concat(F.substring(year_str, 1, 3), F.lit("/"), month))
+        .when(k % 5 == 2, F.concat(year_str, F.lit("/"), month))
+        .when(k % 5 == 3, F.concat(F.lit("18/"), month))
+        .alias("date_event_raw"),
+        F.lit(None).cast("long").alias("location_id"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    src_dim = spark.createDataFrame(
+        [(0, "UFOCAT"), (1, "NUFORC"), (2, "UPDB")], "id int, name string"
+    )
+    loc = spark.createDataFrame(
+        [], "id long, city string, state string, country string"
+    )
+    da = date_analysis(pre_cutoff_sightings(sighting), src_dim, loc)
+    register_analysis_views(spark, da)
+    return spark.sql(
+        """
+        SELECT category, source_name, cnt, min_year, max_year
+        FROM v_category_summary
+        """
+    )
+
+
 # ---- non-SQL-expressible ops: rows-only driver check, pinned by pytest ----
 
 
