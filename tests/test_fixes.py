@@ -258,3 +258,109 @@ def test_battery_is_single_projection(spark):
     df = spark.createDataFrame([_row()], SIGHTING_SCHEMA)
     plan = apply_data_fixes(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- full interaction matrix (reference TestDateFixOrdering/TestFixOrdering,
+# test_data_quality.py:1275-1483, crossed over sources x date forms) --------
+
+# each case: (kwargs for _row, {column: expected_after_battery})
+MATRIX = [
+    # date chain: newline split (literal + real) x source x preset time_raw
+    (dict(source="MUFON", date_event="1985-07-00\\n12:00AM"),
+     dict(date_event="1985-07", time_raw="12:00AM")),
+    (dict(source="MUFON", date_event="1957-00-00\\n12:00AM"),
+     dict(date_event="1957", time_raw="12:00AM")),
+    (dict(source="MUFON", date_event="0000-12-29\\n4:20AM"),
+     dict(date_event=None, time_raw="4:20AM")),
+    (dict(source="MUFON", date_event="0000-12-29\n4:20AM"),
+     dict(date_event=None, time_raw="4:20AM")),
+    (dict(source="MUFON", date_event="1985-07-00\n12:00AM"),
+     dict(date_event="1985-07", time_raw="12:00AM")),
+    # preset time_raw blocks the split but NOT the later date chain
+    (dict(source="MUFON", date_event="1985-07-00\\n12:00AM", time_raw="6PM"),
+     dict(date_event="1985-07", time_raw="6PM")),
+    # non-MUFON: no split, but day-00 truncation still drops the tail
+    (dict(source="UFOCAT", date_event="1985-07-00\n12:00AM"),
+     dict(date_event="1985-07", time_raw=None)),
+    (dict(source="UFOCAT", date_event="1957-00-00"),
+     dict(date_event="1957")),
+    # year-0000 nulling is MUFON-gated
+    (dict(source="UFOCAT", date_event="0000-12-29"),
+     dict(date_event="0000-12-29")),
+    # negative-year nulling is NOT source-gated
+    (dict(source="NUFORC", date_event="-044-07-15"),
+     dict(date_event=None)),
+    (dict(source="MUFON", date_event="-044-07-15\\n3PM"),
+     dict(date_event=None, time_raw="3PM")),
+    (dict(source="NUFORC", date_event="1999-05-00"),
+     dict(date_event="1999-05")),
+    # impossible calendar dates -> YYYY-MM; legal edges untouched
+    (dict(source="NUFORC", date_event="2001-02-30"),
+     dict(date_event="2001-02")),
+    (dict(source="NUFORC", date_event="2001-02-29"),
+     dict(date_event="2001-02-29")),
+    (dict(source="NUFORC", date_event="2001-04-31"),
+     dict(date_event="2001-04")),
+    (dict(source="NUFORC", date_event="2001-01-31"),
+     dict(date_event="2001-01-31")),
+    # month-00 wins before day-00 / impossible-day can see the row
+    (dict(source="UFOCAT", date_event="1980-00-31"),
+     dict(date_event="1980")),
+    (dict(source="MUFON", date_event="2020-00-15\\n5:05PM"),
+     dict(date_event="2020", time_raw="5:05PM")),
+    # year-0000 null fires before month-00 could truncate to '0000'
+    (dict(source="MUFON", date_event="0000-00-00\\n1:00AM"),
+     dict(date_event=None, time_raw="1:00AM")),
+    (dict(source="NUFORC", date_event="1985-07-15"),
+     dict(date_event="1985-07-15")),
+    # shape: titlecase before typo map, junk, hyphen/multi-word gates
+    (dict(shape="frieball"), dict(shape="Fireball")),
+    (dict(source="UFOCAT", shape="BALLK"), dict(shape="Ball")),
+    (dict(source="NUFORC", shape="done"), dict(shape="Dome")),
+    (dict(shape="triange"), dict(shape="Triangle")),
+    (dict(shape="cigar-shaped"), dict(shape="Cigar-Shaped")),
+    (dict(shape="flying disk"), dict(shape="flying disk")),
+    (dict(source="NUFORC", shape="1"), dict(shape=None)),
+    # description: placeholder null, razor strip (MUFON-gated), blank null
+    (dict(source="MUFON",
+          description="Submitted by razor via e-mail."
+                      "  Investigator Notes: saw a light"),
+     dict(description="saw a light")),
+    (dict(source="MUFON", description="Submitted by razor via e-mail."),
+     dict(description=None)),
+    (dict(source="NUFORC", description="Submitted by razor via e-mail."),
+     dict(description="Submitted by razor via e-mail.")),
+    (dict(source="UPDB", description="[MISSING DATA]"),
+     dict(description=None)),
+    (dict(source="UPDB", description="   "), dict(description=None)),
+    # the all-fixes-on-one-record case (reference :1441-1483)
+    (dict(source="MUFON", date_event="2020-05-15\\n8:00PM",
+          description="[MISSING DATA]", shape="ovois"),
+     dict(date_event="2020-05-15", time_raw="8:00PM", description=None,
+          shape="Ovoid")),
+    # location fixes compose with the rest
+    (dict(source="UFOCAT", country="USA", state="NM", longitude=104.5,
+          city=None, raw_text="Roswell"),
+     dict(country="US", longitude=-104.5, city="Roswell")),
+    (dict(source="UFOCAT", state=None, longitude=-2.35),
+     dict(longitude=2.35)),
+    (dict(source="MUFON", country="United Kingdom", longitude=1.0),
+     dict(country="GB", longitude=1.0)),
+    (dict(source="NUFORC", hynek="dd", vallee="ma1"),
+     dict(hynek="DD", vallee="MA1")),
+]
+
+
+def test_fix_ordering_interaction_matrix(spark):
+    """All matrix cases in ONE battery pass (one DataFrame, one projection):
+    interactions can only be observed when the fixes run as a chain."""
+    rows = [_row(id=i, **kw) for i, (kw, _) in enumerate(MATRIX)]
+    df = spark.createDataFrame(rows, SIGHTING_SCHEMA)
+    got = {r["id"]: r for r in apply_data_fixes(df).collect()}
+    failures = []
+    for i, (kw, expect) in enumerate(MATRIX):
+        for col, want in expect.items():
+            have = got[i][col]
+            if have != want:
+                failures.append(f"case {i} {kw}: {col}={have!r}, want {want!r}")
+    assert not failures, "\n".join(failures)
