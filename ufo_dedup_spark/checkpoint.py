@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +115,7 @@ class CheckpointManager:
         bucket_expr,
         n_buckets: int,
         builder: Callable[[DataFrame], DataFrame],
+        concurrency: int = 3,
     ) -> DataFrame:
         """Resumable stage over deterministic data buckets.
 
@@ -120,6 +123,14 @@ class CheckpointManager:
         [0, n_buckets); ``builder`` maps one bucket's rows to output rows.
         Completed buckets are recorded (with per-bucket counters) in the
         manifest; on resume only missing buckets run.
+
+        ``concurrency`` buckets run as concurrent Spark jobs (one driver
+        thread each, FAIR-scheduled when the session enables it): a
+        straggler bucket no longer idles the cluster between bucket
+        boundaries. Each bucket still commits independently (own parquet
+        subdir + manifest entry under a lock), so a kill loses at most the
+        in-flight ``concurrency`` buckets instead of serial resume
+        granularity — the resume contract is unchanged.
         """
         manifest_path = self._manifest_path(name)
         # n_buckets is part of the resume contract: bucket membership is
@@ -151,19 +162,38 @@ class CheckpointManager:
 
         # pmod, not %: hash expressions go negative and `%` preserves sign
         src = source.withColumn("_bucket", F.pmod(bucket_expr, F.lit(n_buckets)))
-        for b in range(n_buckets):
-            if str(b) in state["buckets"]:
-                continue
+        pending = [b for b in range(n_buckets) if str(b) not in state["buckets"]]
+        manifest_lock = threading.Lock()
+
+        def run_bucket(b: int) -> None:
+            # per-thread scheduler pool: PySpark pins python threads to JVM
+            # threads, so local properties (and thus FAIR pools) are
+            # per-bucket; under the default FIFO scheduler concurrent jobs
+            # still backfill idle slots
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"{name}-bucket-{b}"
+            )
             part = src.filter(F.col("_bucket") == b).drop("_bucket")
             out = builder(part)
             bucket_path = os.path.join(self._data_path(name), f"bucket={b}")
             out.write.mode("overwrite").parquet(bucket_path)
             n = self.spark.read.parquet(bucket_path).count()
-            state["buckets"][str(b)] = {
-                "rows_out": n,
-                "completed_at": time.time(),
-            }
-            self._write_manifest(name, state)
+            with manifest_lock:
+                state["buckets"][str(b)] = {
+                    "rows_out": n,
+                    "completed_at": time.time(),
+                }
+                self._write_manifest(name, state)
+
+        if concurrency <= 1 or len(pending) <= 1:
+            for b in pending:
+                run_bucket(b)
+        else:
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                futures = [pool.submit(run_bucket, b) for b in pending]
+                for fu in futures:
+                    fu.result()  # surface the first failure; completed
+                    # buckets keep their manifest entries for resume
         # drop the hive-style partition column the bucket subdirs introduce
         return self.spark.read.parquet(self._data_path(name)).drop("bucket")
 

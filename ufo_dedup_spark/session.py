@@ -113,6 +113,11 @@ def build_session(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
         )
+        # FAIR across job pools: concurrent driver threads (checkpoint
+        # bucket jobs, parallel query branches) each submit to their own
+        # pool and fair-share the cluster instead of queueing FIFO behind a
+        # straggler; single-job workloads are unaffected
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
