@@ -48,35 +48,46 @@ def main():
     pages.count()
 
     phases = {}
-    t_all = time.time()
+    jobs = {}
 
-    t = time.time()
+    def _njobs():
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    t_all = time.time()
+    j_all = _njobs()
+
+    t = time.time(); j = _njobs()
     docs = prepare_documents(pages, use_extractor=True).localCheckpoint(eager=True)
     phases["docs_extract"] = round(time.time() - t, 2)
+    jobs["docs_extract"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     cands = candidate_pairs(docs, cfg).localCheckpoint(eager=True)
     phases["candidates"] = round(time.time() - t, 2)
+    jobs["candidates"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     verified = verify_candidate_pairs(cands, docs, cfg).localCheckpoint(eager=True)
     phases["verify"] = round(time.time() - t, 2)
+    jobs["verify"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     cheap_cc = connected_components(
         verified.filter(F.col("score") >= cfg.cluster_threshold).select(
             "id_a", "id_b"
         )
     ).localCheckpoint(eager=True)
     phases["cheap_cc"] = round(time.time() - t, 2)
+    jobs["cheap_cc"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     sub = substring_pairs(
         docs, cfg, exclude=verified, exclude_clusters=cheap_cc
     ).localCheckpoint(eager=True)
     phases["substring"] = round(time.time() - t, 2)
+    jobs["substring"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     all_pairs = verified.unionByName(sub)
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
@@ -86,8 +97,9 @@ def main():
     ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     phases["pairs_dedup"] = round(time.time() - t, 2)
+    jobs["pairs_dedup"] = _njobs() - j
 
-    t = time.time()
+    t = time.time(); j = _njobs()
     edges = pairs.filter(
         (F.col("score") >= cfg.cluster_threshold) | (F.col("method") == "substring")
     )
@@ -101,11 +113,14 @@ def main():
     )
     n_rows = clusters.count()
     phases["final_cc"] = round(time.time() - t, 2)
+    jobs["final_cc"] = _njobs() - j
 
     print(json.dumps({
         "master": args.master,
         "rows": args.rows,
         "phases": phases,
+        "jobs": jobs,
+        "n_jobs": _njobs() - j_all,
         "total": round(time.time() - t_all, 2),
         "pairs": n_pairs,
         "clustered": n_rows,

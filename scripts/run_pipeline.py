@@ -34,6 +34,10 @@ def main():
     pages = pages.persist()
     n_pages = pages.count()
 
+    def _next_job_id() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    j0 = _next_job_id()
     t0 = time.time()
     result = run_pipeline(spark, pages, PipelineConfig())
     n_pairs = result["pairs"].count()
@@ -45,6 +49,7 @@ def main():
         .count()
     )
     elapsed = time.time() - t0
+    n_jobs = _next_job_id() - j0
 
     if args.json:
         import json
@@ -56,6 +61,7 @@ def main():
             "docs_per_sec": round(n_pages / elapsed, 1),
             "pairs": n_pairs,
             "multi_clusters": n_clusters,
+            "n_jobs": n_jobs,
         }))
         spark.stop()
         return

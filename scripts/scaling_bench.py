@@ -25,6 +25,11 @@ def run_level(master: str, rows: int, shuffle_partitions: int | None = None) -> 
     if shuffle_partitions:
         # pin the JOB config across levels: only the core grant varies
         env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(shuffle_partitions)
+    # memory grant rides build_session's per-core default (600m/core with
+    # an 8g floor): total heap grows with the core grant like a fixed
+    # per-executor-memory cluster, and the floor is the per-process minimum
+    # a real executor JVM would get anyway. (A strict 625m/core grant was
+    # tried and OOMs the low leg at 200k+ docs — the floor is load-bearing.)
     out = subprocess.run(
         [
             sys.executable,

@@ -36,14 +36,20 @@ def first_wins(pairs: DataFrame, priority_col: str = "priority") -> DataFrame:
     deterministic tie-break (method, -score) pins behavior the reference
     leaves to insertion order.
     """
-    w = Window.partitionBy("id_a", "id_b").orderBy(
-        F.col(priority_col).asc(), F.col("method").asc(), F.col("score").desc()
+    # hash aggregation (min_by on a struct ordering key), not a row_number
+    # window: same winner, but a partial-aggregating shuffle instead of a
+    # full sort of the pair table — one less exchange and map-side combine
+    # at scale
+    order_key = F.struct(
+        F.col(priority_col), F.col("method"), (-F.col("score")).alias("_ns")
     )
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", priority_col)
+    payload_cols = [
+        c for c in pairs.columns if c not in ("id_a", "id_b", priority_col)
+    ]
+    won = pairs.groupBy("id_a", "id_b").agg(
+        F.min_by(F.struct(*payload_cols), order_key).alias("_w")
     )
+    return won.select("id_a", "id_b", "_w.*")
 
 
 def anti_join_existing(candidates: DataFrame, existing: DataFrame) -> DataFrame:

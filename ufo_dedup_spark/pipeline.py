@@ -21,6 +21,7 @@ on by sources/writers.py run_stage when a workdir is supplied.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -182,16 +183,14 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    # resolve multi-method duplicates (best priority wins), then cap the
-    # per-doc candidate fan-in
+    # resolve multi-method duplicates (best priority wins) with a hash
+    # min_by aggregation — map-side combinable, no full sort of the
+    # candidate union — then cap the per-doc candidate fan-in
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
         prio = prio.when(F.col("method") == m, F.lit(p))
-    w_pair = Window.partitionBy("id_a", "id_b").orderBy(prio.otherwise(F.lit(99)))
-    out = (
-        out.withColumn("_rn", F.row_number().over(w_pair))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    out = out.groupBy("id_a", "id_b").agg(
+        F.min_by(F.col("method"), prio.otherwise(F.lit(99))).alias("method")
     )
     # Per-doc fan-in cap, applied on BOTH sides of the pair: an edge survives
     # if it is within either endpoint's K nearest (smallest-id) partners.
@@ -286,6 +285,7 @@ def substring_pairs(
     cfg: PipelineConfig,
     exclude: DataFrame | None = None,
     exclude_clusters: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Winnow candidates -> exact-LCS verification -> scored pairs.
 
@@ -293,11 +293,14 @@ def substring_pairs(
     winnow fingerprints trivially) and ``exclude_clusters``: (id, cluster_id)
     from clustering those cheap pairs — both pruned away BEFORE the
     expensive LCS UDF so it only sees genuinely new cross-cluster pairs.
+    ``cands``: precomputed winnow candidates (run_pipeline materializes them
+    concurrently with the MinHash/verify branch).
     """
-    cands = substring_candidate_pairs(
-        docs, "id", "text", cfg.substring_gram, cfg.substring_window,
-        cfg.all_pairs_cap,
-    )
+    if cands is None:
+        cands = substring_candidate_pairs(
+            docs, "id", "text", cfg.substring_gram, cfg.substring_window,
+            cfg.all_pairs_cap,
+        )
     if exclude is not None:
         cands = cands.join(
             exclude.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
@@ -367,11 +370,50 @@ def run_pipeline(
         eager=True
     )
 
-    # candidate generation stays fused with verification: the family
-    # branches schedule concurrently inside one job and fill the cluster
-    # (a barrier here measured ~1.5x slower end-to-end)
-    cands = candidate_pairs(docs, cfg)
-    verified = verify_candidate_pairs(cands, docs, cfg).localCheckpoint(eager=True)
+    # The three doc-derived materializations — MinHash/SimHash signatures
+    # (inside candidate_pairs), the per-doc token table, and the winnow
+    # fingerprint candidates — depend only on `docs` and are independent of
+    # each other, so they run as CONCURRENT driver threads in their own
+    # FAIR pools. Serially, each job's fixed driver latency (plan, AQE
+    # re-opt, barrier) adds up; overlapped, the fixed costs hide under
+    # whichever branch is longest, which is what lifts multi-core scaling
+    # (the 4N-core leg is latency-bound, not compute-bound).
+    def _in_pool(pool: str, fn):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        try:
+            return fn()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_cands = ex.submit(_in_pool, "signatures", lambda: candidate_pairs(docs, cfg))
+        f_tokens = ex.submit(
+            _in_pool,
+            "tokens",
+            lambda: prepare_tokens(docs).localCheckpoint(eager=True),
+        )
+        f_subc = (
+            ex.submit(
+                _in_pool,
+                "winnow",
+                lambda: substring_candidate_pairs(
+                    docs, "id", "text", cfg.substring_gram,
+                    cfg.substring_window, cfg.all_pairs_cap,
+                ),
+            )
+            if cfg.substring_enabled
+            else None
+        )
+        # candidate generation stays fused with verification: the family
+        # branches schedule concurrently inside one job and fill the
+        # cluster (a barrier here measured ~1.5x slower end-to-end)
+        cands = f_cands.result()
+        prepped = f_tokens.result()
+        sub_cands = f_subc.result() if f_subc is not None else None
+
+    verified = verify_candidate_pairs(
+        cands, docs, cfg, prepped=prepped
+    ).localCheckpoint(eager=True)
     all_pairs = verified
     if cfg.substring_enabled:
         # cluster the cheap edges first so the expensive substring stage can
@@ -383,7 +425,8 @@ def run_pipeline(
         ).localCheckpoint(eager=True)
         all_pairs = all_pairs.unionByName(
             substring_pairs(
-                docs, cfg, exclude=verified, exclude_clusters=cheap_cc
+                docs, cfg, exclude=verified, exclude_clusters=cheap_cc,
+                cands=sub_cands,
             )
         )
 

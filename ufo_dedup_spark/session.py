@@ -81,7 +81,14 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=false disables adaptive execution for fixed-shape
+        # jobs (every AQE stage boundary is a driver re-planning barrier;
+        # a pipeline whose partition counts are pinned can trade runtime
+        # re-optimization for fewer driver round-trips)
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # NOTE: keep coalescePartitions.parallelismFirst at its default
         # (true). Size-first coalescing collapses small-in-bytes shuffles to
