@@ -53,8 +53,14 @@ def main():
     def _njobs():
         return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
+    def _gc_ms():
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory \
+            .getGarbageCollectorMXBeans()
+        return sum(b.getCollectionTime() for b in beans)
+
     t_all = time.time()
     j_all = _njobs()
+    gc0 = _gc_ms()
 
     t = time.time(); j = _njobs()
     docs = prepare_documents(pages, use_extractor=True).localCheckpoint(eager=True)
@@ -121,6 +127,7 @@ def main():
         "phases": phases,
         "jobs": jobs,
         "n_jobs": _njobs() - j_all,
+        "gc_sec": round((_gc_ms() - gc0) / 1000.0, 2),
         "total": round(time.time() - t_all, 2),
         "pairs": n_pairs,
         "clustered": n_rows,

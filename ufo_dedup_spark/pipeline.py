@@ -385,7 +385,13 @@ def run_pipeline(
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    # max_workers=2: the signature and winnow branches are both Arrow/
+    # pandas-UDF heavy (each stage spawns one Python worker per core);
+    # running all three branches at once triples the worker fleet and
+    # thrashes memory bandwidth at high core counts. Two at a time still
+    # hides the fixed latency (the JVM-only token branch overlaps the
+    # signature UDFs; winnow starts as soon as one finishes).
+    with ThreadPoolExecutor(max_workers=2) as ex:
         f_cands = ex.submit(_in_pool, "signatures", lambda: candidate_pairs(docs, cfg))
         f_tokens = ex.submit(
             _in_pool,
