@@ -46,46 +46,74 @@ def main():
     spark = build_session(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
     all_queries = Q.queries()
     times: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     total = 0.0
 
     # warm the JVM/Python-worker pools so per-query numbers measure the
     # queries, not process spin-up
     spark.range(1000).select(F.sum("id")).collect()
 
+    # min-of-N per query: this sandbox is a shared-host VM with disclosed
+    # 2.5x run-to-run variance, and single-run numbers made noise
+    # indistinguishable from regressions across rounds (BENCH.md). Noise
+    # here is one-sided (contention only adds time), so min is the
+    # machine-independent estimator; raw reps are published alongside.
     for name in HEADLINE:
         fn = all_queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # checksum over every column so Catalyst cannot prune computed
-        # columns the way a bare count() would — times measure real work
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
+        rep_times = []
+        for _ in range(n_reps):
+            if name == "doc_blocking_pairs":
+                # this query BUILDS the session pair-table memo: reset it
+                # per rep so min-of-N measures the cold compute, not a
+                # memo read (its consumers, e.g. doc_pair_score_buckets,
+                # deliberately measure warm — the session cost model)
+                Q.reset_doc_pairs_cache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # checksum over every column so Catalyst cannot prune computed
+            # columns the way a bare count() would — times measure real work
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+            ).collect()[0]
+            rep_times.append(round(time.time() - t0, 3))
+        dt = min(rep_times)
+        times[name] = dt
+        reps[name] = rep_times
         total += dt
-        print(f"# {name}: {dt:.2f}s ({row['n']} rows)", file=sys.stderr)
+        print(
+            f"# {name}: min {dt:.2f}s of {rep_times} ({row['n']} rows)",
+            file=sys.stderr,
+        )
 
     # web dedup pipeline on the synthetic corpus
     pages, _tp, _tc = corpus_dataframes(spark, SynthConfig(n_docs=n_docs, seed=42))
     pages = pages.persist()
     pages.count()
-    t0 = time.time()
-    result = run_pipeline(spark, pages, PipelineConfig())
-    n_pairs = result["pairs"].count()
-    n_clustered = result["clusters"].count()
-    dt = time.time() - t0
-    times["web_dedup_pipeline"] = round(dt, 3)
+    rep_times = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        result = run_pipeline(spark, pages, PipelineConfig())
+        n_pairs = result["pairs"].count()
+        n_clustered = result["clusters"].count()
+        result["pairs"].unpersist()
+        rep_times.append(round(time.time() - t0, 3))
+    dt = min(rep_times)
+    times["web_dedup_pipeline"] = dt
+    reps["web_dedup_pipeline"] = rep_times
     total += dt
     docs_per_sec = n_docs / dt
     print(
-        f"# web_dedup_pipeline: {dt:.2f}s ({n_docs} docs, {n_pairs} pairs, "
-        f"{n_clustered} rows clustered, {docs_per_sec:.1f} docs/s)",
+        f"# web_dedup_pipeline: min {dt:.2f}s of {rep_times} ({n_docs} docs, "
+        f"{n_pairs} pairs, {n_clustered} rows clustered, "
+        f"{docs_per_sec:.1f} docs/s)",
         file=sys.stderr,
     )
 
@@ -94,6 +122,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "reps": reps,
         "sf": sf,
         "throughput": {
             "web_dedup_docs_per_sec": round(docs_per_sec, 1),

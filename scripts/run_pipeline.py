@@ -39,8 +39,15 @@ def main():
 
     j0 = _next_job_id()
     t0 = time.time()
-    result = run_pipeline(spark, pages, PipelineConfig())
+    phases: dict = {}
+    result = run_pipeline(spark, pages, PipelineConfig(), timings=phases)
+    # the stages after cheap_cc are lazy: the pairs count materializes
+    # substring-LCS + first-wins dedup, the clusters count the final CC —
+    # timing the two actions completes the per-phase table
+    t = time.time()
     n_pairs = result["pairs"].count()
+    phases["substring_and_pairs"] = round(time.time() - t, 2)
+    t = time.time()
     n_clusters = (
         result["clusters"]
         .groupBy("cluster_id")
@@ -48,6 +55,7 @@ def main():
         .filter(F.col("count") > 1)
         .count()
     )
+    phases["final_cc"] = round(time.time() - t, 2)
     elapsed = time.time() - t0
     n_jobs = _next_job_id() - j0
 
@@ -62,6 +70,7 @@ def main():
             "pairs": n_pairs,
             "multi_clusters": n_clusters,
             "n_jobs": n_jobs,
+            "phases": phases,
         }))
         spark.stop()
         return

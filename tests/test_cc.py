@@ -62,3 +62,43 @@ def test_random_graph_matches_union_find(spark):
 
     got = _cc(spark, edges)
     assert got == expected
+
+
+def test_skew_path_equals_fast_path(spark):
+    """A planted giant component (hub + chain segments) with the skew
+    cutoff forced low must produce exactly the fast path's clusters: the
+    two-phase-min star ops are a physical-plan change only."""
+    rng = random.Random(7)
+    edges = []
+    # giant component: hub star (hot neighborhood) + random chords
+    for i in range(1, 3000):
+        edges.append((0, i))
+    for _ in range(2000):
+        a, b = rng.randrange(3000), rng.randrange(3000)
+        if a != b:
+            edges.append((a, b))
+    # plus scattered small components
+    for base in range(10_000, 10_100, 4):
+        edges.append((base, base + 1))
+        edges.append((base + 1, base + 2))
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, skew_degree_cutoff=10**9).collect()
+    }
+    skew = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, skew_degree_cutoff=10).collect()
+    }
+    assert fast == skew
+    assert skew[2999] == 0 and skew[10_001] == 10_000
+
+
+def test_shuffle_partitions_restored(spark):
+    """The per-round shuffle-partition override must not leak past the
+    call, including through the early-exit and exception paths."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    connected_components(df).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -169,21 +169,29 @@ class CheckpointManager:
             # per-thread scheduler pool: PySpark pins python threads to JVM
             # threads, so local properties (and thus FAIR pools) are
             # per-bucket; under the default FIFO scheduler concurrent jobs
-            # still backfill idle slots
+            # still backfill idle slots. Reset in finally: the serial
+            # fallback runs on the caller's thread, and a leaked pool
+            # property would route every later job in the session to the
+            # last bucket's pool.
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", f"{name}-bucket-{b}"
             )
-            part = src.filter(F.col("_bucket") == b).drop("_bucket")
-            out = builder(part)
-            bucket_path = os.path.join(self._data_path(name), f"bucket={b}")
-            out.write.mode("overwrite").parquet(bucket_path)
-            n = self.spark.read.parquet(bucket_path).count()
-            with manifest_lock:
-                state["buckets"][str(b)] = {
-                    "rows_out": n,
-                    "completed_at": time.time(),
-                }
-                self._write_manifest(name, state)
+            try:
+                part = src.filter(F.col("_bucket") == b).drop("_bucket")
+                out = builder(part)
+                bucket_path = os.path.join(self._data_path(name), f"bucket={b}")
+                out.write.mode("overwrite").parquet(bucket_path)
+                n = self.spark.read.parquet(bucket_path).count()
+                with manifest_lock:
+                    state["buckets"][str(b)] = {
+                        "rows_out": n,
+                        "completed_at": time.time(),
+                    }
+                    self._write_manifest(name, state)
+            finally:
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None
+                )
 
         if concurrency <= 1 or len(pending) <= 1:
             for b in pending:
@@ -191,9 +199,17 @@ class CheckpointManager:
         else:
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
                 futures = [pool.submit(run_bucket, b) for b in pending]
-                for fu in futures:
-                    fu.result()  # surface the first failure; completed
-                    # buckets keep their manifest entries for resume
+                try:
+                    for fu in futures:
+                        fu.result()  # surface the first failure; completed
+                        # buckets keep their manifest entries for resume
+                except BaseException:
+                    # fail fast: don't let queued buckets run their full
+                    # Spark jobs after a systemic failure — in-flight
+                    # buckets finish (their manifests stay valid for
+                    # resume), queued ones are cancelled
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    raise
         # drop the hive-style partition column the bucket subdirs introduce
         return self.spark.read.parquet(self._data_path(name)).drop("bucket")
 

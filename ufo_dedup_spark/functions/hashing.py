@@ -210,6 +210,31 @@ def _rolling_gram_hashes(data: np.ndarray, gram: int) -> np.ndarray:
     return _splitmix64(diffs * inv_pows)
 
 
+def _sliding_min(hs: np.ndarray, window: int) -> np.ndarray:
+    """O(n) sliding-window minimum via the block prefix/suffix-min trick.
+
+    Each window [i, i+w-1] spans at most two w-sized blocks, so its min is
+    min(suffix_min_within_block[i], prefix_min_within_block[i+w-1]) — two
+    accumulate passes + one elementwise min, all sequential memory access.
+    Replaces sliding_window_view(...).min(axis=1), which materializes
+    O(n*w) strided reads (48x redundant memory traffic at the default
+    window): with one pandas-UDF worker per core, that redundancy saturated
+    the memory bus and made the winnow phase anti-scale at high core
+    counts.
+    """
+    n = hs.size
+    m = n - window + 1
+    pad = (-n) % window
+    if pad:
+        hs = np.concatenate(
+            [hs, np.full(pad, np.iinfo(hs.dtype).max, dtype=hs.dtype)]
+        )
+    blocks = hs.reshape(-1, window)
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    return np.minimum(suf[:m], pre[window - 1 : window - 1 + m])
+
+
 def make_winnow_udf(gram_chars: int = 64, window: int = 48):
     """Returns a pandas UDF text -> array<long> winnowed rolling-hash
     fingerprints (the exact-substring candidate generator).
@@ -236,9 +261,7 @@ def make_winnow_udf(gram_chars: int = 64, window: int = 48):
             if hs.size <= window:
                 out.append(np.unique(hs.min(keepdims=True)))
                 continue
-            # sliding-window minimum via stride trick
-            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-            out.append(np.unique(sw.min(axis=1)))
+            out.append(np.unique(_sliding_min(hs, window)))
         return pd.Series(out)
 
     return winnow_udf

@@ -17,10 +17,22 @@ formulation — measured 2.3x faster end-to-end on the dedup pipeline's CC
 stages, with the same output.
 
 Skew note: a giant component concentrates its min-node's neighborhood into
-one window partition (linear in component size, never quadratic). That is
-inherent to the algorithm's data model (the groupBy formulation has the
-same hot key); at extreme scale the standard mitigation is the Kiveris
-"optimized" variant with per-round load-balanced relabeling.
+one window partition (linear in component size, never quadratic). Mitigated
+per round: the convergence-fingerprint job also measures the max
+neighborhood size, and any round whose hottest neighborhood exceeds
+``skew_degree_cutoff`` switches its star ops to the two-phase-min
+formulation (groupBy min — map-side partial aggregation splits the hot key
+across input partitions, the physical partition acting as the salt — then a
+join AQE can skew-split or broadcast). Small graphs keep the cheaper
+one-window fast path.
+
+Partition sizing: each round's shuffles run at a partition count matched to
+the measured live edge count (``target_rows_per_partition``), not the
+session's ``spark.sql.shuffle.partitions`` — late rounds shrink toward a
+handful of edges, and scheduling 64 near-empty tasks per exchange, x4
+exchanges, x~10 rounds was pure driver overhead that DOUBLED final-CC time
+going 8 -> 32 cores (AQE's parallelismFirst keeps >= defaultParallelism
+partitions, so more cores meant more empty tasks).
 
 Output: (id, cluster_id) where cluster_id = min node id of the component.
 Every node appearing in the edge list gets a row (isolated nodes of the
@@ -74,8 +86,50 @@ def _small_star(nbr: DataFrame) -> DataFrame:
     )
 
 
+def _large_star_skew(nbr: DataFrame) -> DataFrame:
+    """_large_star for rounds with a giant neighborhood: two-phase min.
+
+    groupBy min is map-side partial-aggregated (each input partition emits
+    one (u, partial_min) row — the physical partition is the salt), so the
+    hot key never concentrates raw rows; the join back is one row per u on
+    the build side, so AQE either broadcasts it or skew-splits the probe
+    side. Same output as _large_star."""
+    mins = nbr.groupBy("u").agg(F.min("v").alias("_mv"))
+    joined = nbr.filter(F.col("v") > F.col("u")).join(mins, "u")
+    return (
+        joined.select(
+            F.col("v").alias("u"),
+            F.least(F.col("_mv"), F.col("u")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star_skew(nbr: DataFrame) -> DataFrame:
+    """_small_star via two-phase min; self-links come one-per-u from the
+    min table (not one-per-row as the window formulation needs), so the
+    pre-distinct output is already near-minimal. Same output as
+    _small_star."""
+    le = nbr.filter(F.col("v") <= F.col("u"))
+    mins = le.groupBy("u").agg(F.min("v").alias("_m"))
+    linked = le.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("_m").alias("v")
+    )
+    self_links = mins.select("u", F.col("_m").alias("v"))
+    return (
+        linked.unionByName(self_links)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, rounds_per_check: int = 1
+    edges: DataFrame,
+    max_iter: int = 25,
+    rounds_per_check: int = 1,
+    target_rows_per_partition: int = 250_000,
+    skew_degree_cutoff: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (id, cluster_id = component min id).
 
@@ -85,7 +139,14 @@ def connected_components(
     plan tree grows exponentially with rounds), and the fingerprint
     aggregation is the first consumer, so ONE job both materializes the
     round and decides convergence — half the driver jobs of the
-    eager-checkpoint formulation.
+    eager-checkpoint formulation. The same job measures edge count (->
+    next round's shuffle-partition count) and max neighborhood size (->
+    next round's star implementation, window fast path vs two-phase-min
+    skew path above ``skew_degree_cutoff``).
+
+    ``spark.sql.shuffle.partitions`` is temporarily overridden per round
+    and restored on exit; CC is a serial stage in the pipeline, so no
+    concurrently-planned job observes the override.
 
     ``rounds_per_check`` fuses N star rounds per materialization +
     fingerprint. Measured on this engine it LOSES at N=2 (the un-truncated
@@ -95,33 +156,62 @@ def connected_components(
     their compute (converged sets are fixed points, so correctness is
     unaffected by extra rounds).
     """
+    spark = edges.sparkSession
     uv = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
 
     def _fingerprint(df: DataFrame) -> tuple:
-        """Cheap one-job convergence fingerprint of an edge set:
-        (count, sum of xxhash64(u,v)). Collision-safe in practice and far
-        cheaper than two exceptAll scans per round."""
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        """ONE job returning ((count, sum of xxhash64(u,v)), max degree).
+        The (n, h) pair is the convergence fingerprint (collision-safe in
+        practice, far cheaper than two exceptAll scans per round); max
+        degree drives skew-path selection. The per-u pre-aggregation is
+        map-side combined, so the extra stage shuffles at most one row per
+        (input partition, u)."""
+        row = (
+            df.groupBy("u")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("_h"),
+            )
+            .agg(
+                F.sum("_c").alias("n"),
+                F.sum("_h").alias("h"),
+                F.max("_c").alias("d"),
+            )
+            .collect()[0]
+        )
+        return (row["n"] or 0, row["h"]), (row["d"] or 0)
 
-    # caller input may contain duplicates -> one distinct at entry; every
-    # later symmetrization is a free union of a distinct star output
-    nbr = (
-        _both_dirs(uv.filter(F.col("u") != F.col("v")).distinct())
-        .localCheckpoint(eager=False)
-    )
-    fp = _fingerprint(nbr)  # materializes nbr
-    for _ in range(0, max_iter, max(1, rounds_per_check)):
-        for _r in range(max(1, rounds_per_check)):
-            nbr = _both_dirs(_small_star(_both_dirs(_large_star(nbr))))
-        nbr = nbr.localCheckpoint(eager=False)
-        fp2 = _fingerprint(nbr)  # materializes this round
-        if fp2 == fp:
-            break
-        fp = fp2
+    def _round_partitions(n_edges: int) -> int:
+        cores = spark.sparkContext.defaultParallelism
+        need = -(-max(1, n_edges) // target_rows_per_partition)  # ceil
+        return max(min(8, cores), min(need, saved_parts))
+
+    saved_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_parts = int(saved_conf)
+    try:
+        # caller input may contain duplicates -> one distinct at entry;
+        # every later symmetrization is a free union of a distinct star
+        # output
+        nbr = (
+            _both_dirs(uv.filter(F.col("u") != F.col("v")).distinct())
+            .localCheckpoint(eager=False)
+        )
+        fp, max_deg = _fingerprint(nbr)  # materializes nbr
+        for _ in range(0, max_iter, max(1, rounds_per_check)):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_round_partitions(fp[0]))
+            )
+            large = _large_star_skew if max_deg > skew_degree_cutoff else _large_star
+            small = _small_star_skew if max_deg > skew_degree_cutoff else _small_star
+            for _r in range(max(1, rounds_per_check)):
+                nbr = _both_dirs(small(_both_dirs(large(nbr))))
+            nbr = nbr.localCheckpoint(eager=False)
+            fp2, max_deg = _fingerprint(nbr)  # materializes this round
+            if fp2 == fp:
+                break
+            fp = fp2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_conf)
 
     # at convergence every edge points node -> component min
     comp = nbr.groupBy("u").agg(F.min("v").alias("cluster_id"))

@@ -40,8 +40,13 @@ def first_wins(pairs: DataFrame, priority_col: str = "priority") -> DataFrame:
     # window: same winner, but a partial-aggregating shuffle instead of a
     # full sort of the pair table — one less exchange and map-side combine
     # at scale
+    # -coalesce(score, -inf): in struct ordering NULL sorts smallest, so a
+    # bare -score would let a NULL-score row WIN its (priority, method) tie;
+    # the window formulation this replaced put nulls last — preserve that
     order_key = F.struct(
-        F.col(priority_col), F.col("method"), (-F.col("score")).alias("_ns")
+        F.col(priority_col),
+        F.col("method"),
+        (-F.coalesce(F.col("score"), F.lit(float("-inf")))).alias("_ns"),
     )
     payload_cols = [
         c for c in pairs.columns if c not in ("id_a", "id_b", priority_col)

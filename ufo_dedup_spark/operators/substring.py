@@ -219,14 +219,18 @@ def verify_substring_pairs(
     b = docs.select(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
     )
-    # repartition: the candidate list is tiny in bytes, so AQE coalesces it
-    # to a few partitions — which would serialize the CPU-heavy LCS UDF.
-    # Spread by pair key to use every core.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # Spread AFTER the joins, round-robin: a pre-join repartition is undone
+    # by the join exchanges, whose output is keyed by id — one hot document
+    # appearing in many surviving pairs lands every one of its rows in a
+    # single task, serializing the CPU-heavy LCS UDF (measured as the
+    # anti-scaling half of the substring phase at 32 cores). Keyless
+    # repartition deals rows evenly regardless of id skew, at the cost of
+    # shuffling only the surviving candidates' texts (small after
+    # cluster-exclusion pruning); 2x cores keeps every core busy even when
+    # per-pair LCS cost is wildly uneven.
+    n_part = 2 * docs.sparkSession.sparkContext.defaultParallelism
     joined = (
-        candidates.repartition(n_part, "id_a", "id_b")
-        .join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(a, "id_a").join(b, "id_b").repartition(n_part)
     )
     scored = joined.select(
         "id_a", "id_b", lcs_len_udf(F.col("_ta"), F.col("_tb")).alias("lcs_len")

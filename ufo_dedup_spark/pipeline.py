@@ -21,6 +21,7 @@ on by sources/writers.py run_stage when a workdir is supplied.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -352,6 +353,7 @@ def run_pipeline(
     pages: DataFrame,
     cfg: PipelineConfig | None = None,
     use_extractor: bool = True,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline -> {'docs', 'pairs', 'clusters'} DataFrames.
 
@@ -359,8 +361,20 @@ def run_pipeline(
     pair (method priority: exact > minhash_lsh > simhash > prefix >
     substring). ``clusters``: (id, cluster_id) for every doc, singletons
     included with cluster_id = id.
+
+    ``timings``: optional dict populated with per-barrier wall-clock
+    seconds (docs_extract, the three concurrent branch durations, verify,
+    cheap_cc). Branches overlap, so their durations sum to more than the
+    wall they occupy; the stages after cheap_cc are lazy and land in the
+    caller's first action (run_pipeline.py times those separately).
     """
     cfg = cfg or PipelineConfig()
+
+    def _mark(key: str, t0: float) -> None:
+        if timings is not None:
+            timings[key] = round(time.time() - t0, 2)
+
+    _t = time.time()
     # EAGER stage barriers (localCheckpoint): every stage below fans out to
     # multiple consumers that run concurrently inside one job — lazy persist
     # would let each branch recompute the full upstream (measured 3x
@@ -369,6 +383,7 @@ def run_pipeline(
     docs = prepare_documents(pages, use_extractor=use_extractor).localCheckpoint(
         eager=True
     )
+    _mark("docs_extract", _t)
 
     # The three doc-derived materializations — MinHash/SimHash signatures
     # (inside candidate_pairs), the per-doc token table, and the winnow
@@ -380,10 +395,12 @@ def run_pipeline(
     # (the 4N-core leg is latency-bound, not compute-bound).
     def _in_pool(pool: str, fn):
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        t0 = time.time()
         try:
             return fn()
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            _mark(f"branch_{pool}", t0)
 
     # max_workers=2: the signature and winnow branches are both Arrow/
     # pandas-UDF heavy (each stage spawns one Python worker per core);
@@ -417,18 +434,22 @@ def run_pipeline(
         prepped = f_tokens.result()
         sub_cands = f_subc.result() if f_subc is not None else None
 
+    _t = time.time()
     verified = verify_candidate_pairs(
         cands, docs, cfg, prepped=prepped
     ).localCheckpoint(eager=True)
+    _mark("verify", _t)
     all_pairs = verified
     if cfg.substring_enabled:
         # cluster the cheap edges first so the expensive substring stage can
         # skip intra-cluster candidates
+        _t = time.time()
         cheap_cc = connected_components(
             verified.filter(F.col("score") >= cfg.cluster_threshold).select(
                 "id_a", "id_b"
             )
         ).localCheckpoint(eager=True)
+        _mark("cheap_cc", _t)
         all_pairs = all_pairs.unionByName(
             substring_pairs(
                 docs, cfg, exclude=verified, exclude_clusters=cheap_cc,

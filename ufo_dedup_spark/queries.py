@@ -442,6 +442,13 @@ def _doc_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def reset_doc_pairs_cache() -> None:
+    """Drop the session memo. bench.py calls this before each repetition of
+    the memo-building query so min-of-N still measures the cold compute,
+    not a cache read; downstream memo consumers stay warm by design."""
+    _DOC_PAIRS_CACHE.clear()
+
+
 _DOC_PAIRS_SQL = f"""
     WITH toks AS (
         SELECT doc_id, source, lang,
@@ -1484,6 +1491,34 @@ def ann_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         n_centroids=16,
         n_probe=16,
+    )
+
+
+@register(
+    "ann_probed_containment",
+    # Precision containment as a hard oracle gate: every pair the
+    # production (partial-probe) ANN path emits must also be a true pair —
+    # probed pairs anti-joined against the full-probe (== brute-force)
+    # result must be EMPTY. The recall half (how many true pairs the probe
+    # width finds) is impl-defined and stays pinned in pytest
+    # (test_similarity_search.py); this row pins the precision half in the
+    # driver's hash-checked gate.
+    """
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+    WHERE 1 = 0
+    """,
+)
+def ann_probed_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe ANN pairs that are NOT in the exact result — expected
+    empty: within-bucket scoring uses the exact cosine, so reducing probe
+    width can only drop pairs, never invent them."""
+    from ufo_dedup_spark.operators.similarity_search import ann_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    probed = ann_near_dup_pairs(e, threshold=0.3, n_centroids=16, n_probe=4)
+    full = ann_near_dup_pairs(e, threshold=0.3, n_centroids=16, n_probe=16)
+    return probed.select("id_a", "id_b").join(
+        full.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
 
 

@@ -34,6 +34,24 @@ def _package_zip() -> str:
     return out
 
 
+def _aqe_flag() -> str:
+    """Normalized SPARK_GRAFT_AQE env value ('true'/'false').
+
+    Validated here (like SPARK_GRAFT_SHUFFLE_PARTITIONS) so a typo'd value
+    fails with a clear message instead of an opaque Spark
+    IllegalArgumentException at session build.
+    """
+    raw = os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
+    if raw in ("true", "1", "yes", "on", ""):
+        return "true"
+    if raw in ("false", "0", "no", "off"):
+        return "false"
+    raise ValueError(
+        f"SPARK_GRAFT_AQE must be a boolean (true/false/1/0/yes/no/on/off); "
+        f"got {raw!r}"
+    )
+
+
 def build_session(
     app_name: str = "ufo-dedup-spark",
     master: str | None = None,
@@ -50,8 +68,14 @@ def build_session(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # local[K], local[*], and local[K,maxFailures] forms: only the leading
+    # token before an optional comma is the thread count
     n = master[master.index("[") + 1 : -1] if "[" in master else "8"
-    cores = (os.cpu_count() or 8) if n == "*" else int(n)
+    n = n.split(",", 1)[0].strip()
+    try:
+        cores = (os.cpu_count() or 8) if n == "*" else int(n)
+    except ValueError:
+        cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "").strip()
         if env_sp:
@@ -85,10 +109,7 @@ def build_session(
         # jobs (every AQE stage boundary is a driver re-planning barrier;
         # a pipeline whose partition counts are pinned can trade runtime
         # re-optimization for fewer driver round-trips)
-        .config(
-            "spark.sql.adaptive.enabled",
-            os.environ.get("SPARK_GRAFT_AQE", "true"),
-        )
+        .config("spark.sql.adaptive.enabled", _aqe_flag())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # NOTE: keep coalescePartitions.parallelismFirst at its default
         # (true). Size-first coalescing collapses small-in-bytes shuffles to
