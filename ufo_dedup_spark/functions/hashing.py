@@ -117,8 +117,21 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
     """
     a, b = _perm_params(num_perm, seed)
 
+    # shingle-axis chunk size: the inner matrices are num_perm x chunk
+    # uint64 (~10 temporaries) — at 256 that is ~256KB each, resident in a
+    # core's private L2. Unchunked, a 1000-shingle doc materializes ~10 x
+    # 1MB temporaries per doc; with one pandas-UDF worker per core those
+    # DRAM round-trips saturate the shared memory bus and cap the
+    # signature phase's core-scaling well below the machine ceiling. The
+    # min over chunks equals the global min — output is bit-identical.
+    chunk = max(1, (1 << 15) // num_perm)
+
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
+        m61 = np.uint64(_MERSENNE61)
+        a_lo = (a & np.uint64(0xFFFFFFFF))[:, None]
+        a_hi = (a >> np.uint64(32))[:, None]
+        bb = b[:, None]
         out = []
         for t in texts:
             if t is None:
@@ -128,20 +141,25 @@ def make_minhash_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
             if x.size == 0:
                 out.append(None)
                 continue
-            # Exact (a*x + b) mod M61 in uint64 without overflow:
-            # split a = a_hi*2^32 + a_lo (x < 2^32 by construction,
-            # a < 2^61). a_lo*x < 2^64 fits; a_hi*x < 2^61 fits; since
-            # 2^61 = 1 (mod M61), t*2^32 mod M61 = ((t<<32) & M61) + (t >> 29).
-            m61 = np.uint64(_MERSENNE61)
-            lo = (a & np.uint64(0xFFFFFFFF))[:, None] * x[None, :]
-            lo = (lo & m61) + (lo >> np.uint64(61))  # < 2^61 + 8
-            hi = (a >> np.uint64(32))[:, None] * x[None, :]
-            hi = ((hi << np.uint64(32)) & m61) + (hi >> np.uint64(29))
-            v = lo + hi + b[:, None]  # < 3*2^61 + 2^33, fits uint64
-            v = (v & m61) + (v >> np.uint64(61))
-            v = np.where(v >= m61, v - m61, v)
-            v = np.where(v >= m61, v - m61, v)
-            out.append(v.min(axis=1).astype(np.int64))
+            best = None
+            for s in range(0, x.size, chunk):
+                xc = x[None, s : s + chunk]
+                # Exact (a*x + b) mod M61 in uint64 without overflow:
+                # split a = a_hi*2^32 + a_lo (x < 2^32 by construction,
+                # a < 2^61). a_lo*x < 2^64 fits; a_hi*x < 2^61 fits; since
+                # 2^61 = 1 (mod M61),
+                # t*2^32 mod M61 = ((t<<32) & M61) + (t >> 29).
+                lo = a_lo * xc
+                lo = (lo & m61) + (lo >> np.uint64(61))  # < 2^61 + 8
+                hi = a_hi * xc
+                hi = ((hi << np.uint64(32)) & m61) + (hi >> np.uint64(29))
+                v = lo + hi + bb  # < 3*2^61 + 2^33, fits uint64
+                v = (v & m61) + (v >> np.uint64(61))
+                v = np.where(v >= m61, v - m61, v)
+                v = np.where(v >= m61, v - m61, v)
+                mn = v.min(axis=1)
+                best = mn if best is None else np.minimum(best, mn)
+            out.append(best.astype(np.int64))
         return pd.Series(out)
 
     return minhash_udf
@@ -169,7 +187,13 @@ def make_simhash_udf(shingle_k: int = 2, seed: int = 42):
                 continue
             kk = min(shingle_k, h.size)
             hs = np.unique(_splitmix64(_poly_combine(h, kk, seed=seed_u64)))
-            bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).sum(axis=0)
+            # chunked bit-vote: keeps the n x 64 unpack matrix L2-resident
+            # (same cache-bandwidth rationale as the MinHash chunking);
+            # summing per chunk is exact
+            bits = np.zeros(64, dtype=np.uint64)
+            for s in range(0, hs.size, 512):
+                hc = hs[s : s + 512, None]
+                bits += ((hc >> bitpos[None, :]) & np.uint64(1)).sum(axis=0)
             fp = np.uint64(0)
             majority = hs.size / 2.0
             for bit in np.nonzero(bits > majority)[0]:
