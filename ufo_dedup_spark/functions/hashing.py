@@ -259,7 +259,7 @@ def _sliding_min(hs: np.ndarray, window: int) -> np.ndarray:
     return np.minimum(suf[:m], pre[window - 1 : window - 1 + m])
 
 
-def make_winnow_udf(gram_chars: int = 64, window: int = 48):
+def make_winnow_udf(gram_chars: int = 64, window: int = 137):
     """Returns a pandas UDF text -> array<long> winnowed rolling-hash
     fingerprints (the exact-substring candidate generator).
 

@@ -187,7 +187,7 @@ def substring_candidate_pairs(
     id_col: str = "id",
     text_col: str = "text",
     gram_chars: int = 64,
-    window: int = 48,
+    window: int = 137,
     all_pairs_cap: int = 64,
 ) -> DataFrame:
     """Distinct candidate pairs sharing >= 1 winnowed fingerprint."""

@@ -91,11 +91,29 @@ class PipelineConfig:
 
     substring_enabled: bool = True
     substring_gram: int = 64
-    substring_window: int = 48
+    # winnowing guarantee: two docs sharing a span >= gram + window - 1
+    # bytes share >= 1 fingerprint. The window is sized so that boundary
+    # EQUALS min_span (64 + 137 - 1 = 200): any wider misses true spans;
+    # any narrower (the old 48 guaranteed 111) fingerprints ~2.8x denser
+    # only to surface sub-threshold candidates that LCS verification then
+    # discards — pure shuffle/agg cost. __post_init__ enforces the bound.
+    substring_window: int = 137
     substring_min_span: int = 200
 
     def __post_init__(self):
         assert self.bands * self.rows_per_band <= self.num_perm
+        if (
+            self.substring_gram + self.substring_window - 1
+            > self.substring_min_span
+        ):
+            raise ValueError(
+                f"substring_gram + substring_window - 1 "
+                f"({self.substring_gram + self.substring_window - 1}) must "
+                f"not exceed substring_min_span ({self.substring_min_span}): "
+                f"the winnowing guarantee only covers shared spans >= "
+                f"gram + window - 1, so a wider window can miss true "
+                f">= min_span spans"
+            )
         if self.prefix_key_chars != PREFIX_MIN_CHARS:
             raise ValueError(
                 f"prefix_key_chars must equal PREFIX_MIN_CHARS "
@@ -408,6 +426,7 @@ def run_pipeline(
     # thrashes memory bandwidth at high core counts. Two at a time still
     # hides the fixed latency (the JVM-only token branch overlaps the
     # signature UDFs; winnow starts as soon as one finishes).
+    _t_block = time.time()
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_cands = ex.submit(_in_pool, "signatures", lambda: candidate_pairs(docs, cfg))
         f_tokens = ex.submit(
@@ -433,6 +452,7 @@ def run_pipeline(
         cands = f_cands.result()
         prepped = f_tokens.result()
         sub_cands = f_subc.result() if f_subc is not None else None
+    _mark("branch_block_wall", _t_block)
 
     _t = time.time()
     verified = verify_candidate_pairs(
@@ -457,18 +477,26 @@ def run_pipeline(
             )
         )
 
+    _t = time.time()
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
         prio = prio.when(F.col("method") == m, F.lit(p))
     pairs = first_wins(
         all_pairs.withColumn("priority", prio.otherwise(F.lit(99)))
     ).persist()
+    _mark("build_tail", _t)
 
+    # NOTE: connected_components runs its driver loop HERE — its first
+    # fingerprint job is also what materializes the persisted pairs table
+    # (substring LCS + first-wins dedup), so this marked interval covers
+    # substring verification + pair dedup + all final CC rounds.
+    _t = time.time()
     edges = pairs.filter(
         (F.col("score") >= cfg.cluster_threshold)
         | (F.col("method") == "substring")
     )
     cc = connected_components(edges.select("id_a", "id_b"))
+    _mark("substring_pairs_and_cc_rounds", _t)
     clusters = (
         docs.select("id", "url")
         .join(cc, on="id", how="left")
