@@ -204,12 +204,17 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     # resolve multi-method duplicates (best priority wins) with a hash
     # min_by aggregation — map-side combinable, no full sort of the
-    # candidate union — then cap the per-doc candidate fan-in
+    # candidate union — then cap the per-doc candidate fan-in.
+    # _pfx survives the collapse as a flag: the 0.95 starts-with rule is
+    # the PREFIX TIER's verification rule, so the verify stage needs to
+    # know a pair came through the prefix band even when a higher-priority
+    # method claims its label — and only those pairs need the text join.
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
         prio = prio.when(F.col("method") == m, F.lit(p))
     out = out.groupBy("id_a", "id_b").agg(
-        F.min_by(F.col("method"), prio.otherwise(F.lit(99))).alias("method")
+        F.min_by(F.col("method"), prio.otherwise(F.lit(99))).alias("method"),
+        F.max((F.col("method") == "prefix").cast("int")).alias("_pfx"),
     )
     # Per-doc fan-in cap, applied on BOTH sides of the pair: an edge survives
     # if it is within either endpoint's K nearest (smallest-id) partners.
@@ -232,20 +237,26 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def prepare_tokens(docs: DataFrame) -> DataFrame:
-    """Per-doc verification inputs: lowered text, sorted xxhash64 token set,
+    """Per-doc verification inputs: sorted xxhash64 token set and
     distinct-token count. Computed once per corpus, reused by every
-    verification bucket."""
+    verification bucket.
+
+    Deliberately does NOT carry the lowered text: the verify join ships
+    this table's payload through two exchanges per candidate pair, and the
+    only consumer of full text — the prefix tier's starts-with rule — runs
+    as its own narrow join over just the prefix-family pairs
+    (verify_candidate_pairs), not over every candidate."""
+    # no array_sort: array_intersect is hash-set based, so ordering buys
+    # nothing downstream and the per-doc O(n log n) comparator pass was
+    # ~1/3 of this stage's JVM time; array_distinct alone is O(n)
     return docs.select(
         "id",
-        F.lower(F.trim(F.col("text"))).alias("_t"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.array_remove(
-                        F.split(F.lower(F.trim(F.col("text"))), "\\s+"), ""
-                    ),
-                    lambda t: F.xxhash64(t),
-                )
+        F.array_distinct(
+            F.transform(
+                F.array_remove(
+                    F.split(F.lower(F.trim(F.col("text"))), "\\s+"), ""
+                ),
+                lambda t: F.xxhash64(t),
             )
         ).alias("_tok"),
     ).withColumn("_n", F.size("_tok"))
@@ -257,27 +268,38 @@ def verify_candidate_pairs(
     cfg: PipelineConfig,
     prepped: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact verification: token Jaccard plus the >=20-char prefix shortcut
-    at 0.95. Returns canonical scored pairs.
+    """Exact verification: token Jaccard for every candidate, plus the
+    prefix TIER's >=20-char starts-with rule at 0.95 for pairs that came
+    through the prefix band. Returns canonical scored pairs.
 
-    Cost discipline: tokenization happens ONCE PER DOC, not once per pair —
-    each doc is pre-reduced to a sorted array of xxhash64 token hashes plus
-    its distinct-token count, so the per-pair work is a single long-array
-    intersect and arithmetic (measured ~10x cheaper than per-pair string
-    tokenization at 70k candidates). 64-bit token-hash collisions perturb
-    Jaccard by < 1e-4 — far below the decision threshold.
+    Cost discipline, per-pair: tokenization happens ONCE PER DOC, not once
+    per pair — each doc is pre-reduced to a sorted array of xxhash64 token
+    hashes plus its distinct-token count, so the per-pair work is a single
+    long-array intersect and arithmetic (measured ~10x cheaper than
+    per-pair string tokenization at 70k candidates). 64-bit token-hash
+    collisions perturb Jaccard by < 1e-4 — far below the threshold.
+
+    Cost discipline, per-byte: full document text enters ONLY the narrow
+    prefix-family join (pairs flagged _pfx by the prefix band — the one
+    tier whose rule needs text). The main verification join moves token
+    arrays and counts, nothing else; shipping every doc's lowered text
+    through both exchanges of the big join (the round-3 shape) roughly
+    doubled the phase's shuffle bytes to serve a rule that only the prefix
+    tier defines. Mirrors the reference's tiered design: each tier applies
+    its own verification rule (SURVEY.md T-2d / K2 0.95 starts-with).
     """
     if prepped is None:
         prepped = prepare_tokens(docs).localCheckpoint(eager=True)
 
     a = prepped.select(
-        F.col("id").alias("id_a"), F.col("_t").alias("_ta"),
+        F.col("id").alias("id_a"),
         F.col("_tok").alias("_tok_a"), F.col("_n").alias("_na"),
     )
     b = prepped.select(
-        F.col("id").alias("id_b"), F.col("_t").alias("_tb"),
+        F.col("id").alias("id_b"),
         F.col("_tok").alias("_tok_b"), F.col("_n").alias("_nb"),
     )
+    has_pfx = "_pfx" in cands.columns
     j = cands.join(a, "id_a").join(b, "id_b")
 
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
@@ -285,16 +307,49 @@ def verify_candidate_pairs(
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )
-    is_prefix = (
-        (F.length("_ta") >= PREFIX_MIN_CHARS)
-        & (F.length("_tb") >= PREFIX_MIN_CHARS)
-        & (F.col("_ta").startswith(F.col("_tb")) | F.col("_tb").startswith(F.col("_ta")))
-    )
-    score = F.when(is_prefix, F.greatest(jac, F.lit(0.95))).otherwise(jac)
-
     scored = j.select(
-        "id_a", "id_b", score.alias("score"), "method",
-        F.lit("pending").alias("status"),
+        "id_a", "id_b", jac.alias("score"), "method",
+        *(["_pfx"] if has_pfx else []),
+    )
+
+    if has_pfx:
+        ta = docs.select(
+            F.col("id").alias("id_a"),
+            F.lower(F.trim(F.col("text"))).alias("_ta"),
+        )
+        tb = docs.select(
+            F.col("id").alias("id_b"),
+            F.lower(F.trim(F.col("text"))).alias("_tb"),
+        )
+        is_prefix = (
+            (F.length("_ta") >= PREFIX_MIN_CHARS)
+            & (F.length("_tb") >= PREFIX_MIN_CHARS)
+            & (
+                F.col("_ta").startswith(F.col("_tb"))
+                | F.col("_tb").startswith(F.col("_ta"))
+            )
+        )
+        pfx = (
+            cands.filter(F.col("_pfx") == 1)
+            .select("id_a", "id_b")
+            .join(ta, "id_a")
+            .join(tb, "id_b")
+            .select("id_a", "id_b", is_prefix.alias("_is_pfx"))
+        )
+        scored = (
+            scored.join(pfx, ["id_a", "id_b"], "left")
+            .withColumn(
+                "score",
+                F.when(
+                    F.coalesce(F.col("_is_pfx"), F.lit(False)),
+                    F.greatest(F.col("score"), F.lit(0.95)),
+                ).otherwise(F.col("score")),
+            )
+            .drop("_is_pfx", "_pfx")
+        )
+
+    scored = scored.select(
+        "id_a", "id_b", "score", "method", F.lit("pending").alias("status")
     )
     return scored.filter(F.col("score") >= cfg.verify_threshold)
 
