@@ -159,13 +159,22 @@ def connected_components(
     spark = edges.sparkSession
     uv = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
 
-    def _fingerprint(df: DataFrame) -> tuple:
+    def _fingerprint(df: DataFrame, need_degrees: bool) -> tuple:
         """ONE job returning ((count, sum of xxhash64(u,v)), max degree).
         The (n, h) pair is the convergence fingerprint (collision-safe in
         practice, far cheaper than two exceptAll scans per round); max
         degree drives skew-path selection. The per-u pre-aggregation is
         map-side combined, so the extra stage shuffles at most one row per
-        (input partition, u)."""
+        (input partition, u) — and is skipped entirely when the edge set
+        is smaller than the skew cutoff (max degree <= edge count, so no
+        neighborhood can trip it): small graphs and late rounds pay only
+        the single global aggregate."""
+        if not need_degrees:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            return (row["n"] or 0, row["h"]), 0
         row = (
             df.groupBy("u")
             .agg(
@@ -196,7 +205,7 @@ def connected_components(
             _both_dirs(uv.filter(F.col("u") != F.col("v")).distinct())
             .localCheckpoint(eager=False)
         )
-        fp, max_deg = _fingerprint(nbr)  # materializes nbr
+        fp, max_deg = _fingerprint(nbr, True)  # materializes nbr
         for _ in range(0, max_iter, max(1, rounds_per_check)):
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(_round_partitions(fp[0]))
@@ -206,7 +215,9 @@ def connected_components(
             for _r in range(max(1, rounds_per_check)):
                 nbr = _both_dirs(small(_both_dirs(large(nbr))))
             nbr = nbr.localCheckpoint(eager=False)
-            fp2, max_deg = _fingerprint(nbr)  # materializes this round
+            # materializes this round; degree stats only while the edge set
+            # is big enough that a neighborhood could exceed the cutoff
+            fp2, max_deg = _fingerprint(nbr, fp[0] > skew_degree_cutoff)
             if fp2 == fp:
                 break
             fp = fp2
