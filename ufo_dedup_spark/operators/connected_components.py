@@ -129,7 +129,14 @@ def connected_components(
     max_iter: int = 25,
     rounds_per_check: int = 1,
     target_rows_per_partition: int = 250_000,
-    skew_degree_cutoff: int = 100_000,
+    # memory-bound, not wall-time-bound: a window partition buffers the hot
+    # neighborhood (~16B/row -> 5M rows ~ 80MB, safe inside an executor);
+    # beyond it the hot task OOMs/straggles on a real cluster. Locally the
+    # two-phase path measures ~2x slower at 500k members (one shared
+    # memory space has no straggler penalty, so its extra exchanges are
+    # pure cost — scripts/cc_skew_bench.py), which is why the cutoff stays
+    # high rather than 0.
+    skew_degree_cutoff: int = 5_000_000,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (id, cluster_id = component min id).
 
