@@ -189,6 +189,87 @@ def test_candidate_cap_keeps_every_doc_connected(spark):
     assert touched == all_ids, "cap disconnected some docs entirely"
 
 
+def test_startswith_boost_applies_to_any_method(spark):
+    """The 0.95 starts-with rule must fire for a prefix pair surfaced by ANY
+    band (reference dedup.py:110-116 applies it inside compute_similarity
+    for every pair in every tier) — regression for the round-4 shape that
+    boosted only pairs flagged by the prefix band, which could miss a pair
+    dropped from the prefix bucket by the star-chain cap but surfaced by
+    LSH."""
+    from ufo_dedup_spark.pipeline import verify_candidate_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + "unrelated continuation words follow here now " * 4
+    docs = spark.createDataFrame(
+        [(1, "u1", short, "en"), (2, "u2", long, "en")],
+        "id long, url string, text string, lang string",
+    )
+    # labeled minhash_lsh, NOT prefix: raw Jaccard is ~0.25 (short's tokens
+    # are a small subset), far below verify_threshold — only the
+    # starts-with rule can save it
+    cands = spark.createDataFrame(
+        [(1, 2, "minhash_lsh")], "id_a long, id_b long, method string"
+    )
+    out = verify_candidate_pairs(cands, docs, PipelineConfig()).collect()
+    assert len(out) == 1
+    assert out[0]["score"] >= 0.95
+
+
+def test_verify_text_join_structurally_narrow(spark):
+    """The starts-with text join must be bounded by a semi-join on the
+    eligible family (not by AQE happening to broadcast the pair side): the
+    optimized plan contains a LeftSemi, and the pipeline output is
+    identical with AQE disabled."""
+    from ufo_dedup_spark.pipeline import (
+        prepare_documents,
+        verify_candidate_pairs,
+    )
+
+    rows = [(f"u{i}", f"document number {i} with distinct words {i}")
+            for i in range(8)]
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    docs = prepare_documents(pages, use_extractor=False)
+    ids = [r["id"] for r in docs.select("id").limit(2).collect()]
+    cands = spark.createDataFrame(
+        [(ids[0], ids[1], "minhash_lsh")],
+        "id_a long, id_b long, method string",
+    )
+    plan = (
+        verify_candidate_pairs(cands, docs, PipelineConfig())
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_pipeline_aqe_off_same_output(spark, corpus, result):
+    """Supported env toggle SPARK_GRAFT_AQE=false must not change results —
+    and in particular the structurally-narrow text join must not depend on
+    adaptive planning."""
+    pages, _, _ = corpus
+    want = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in result["pairs"].collect()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        r2 = run_pipeline(spark, pages, PipelineConfig())
+        got = {
+            (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+            for r in r2["pairs"].collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got == want
+
+
 def test_methods_present(result):
     methods = {
         r["method"] for r in result["pairs"].select("method").distinct().collect()

@@ -223,8 +223,16 @@ def connected_components(
                 nbr = _both_dirs(small(_both_dirs(large(nbr))))
             nbr = nbr.localCheckpoint(eager=False)
             # materializes this round; degree stats only while the edge set
-            # is big enough that a neighborhood could exceed the cutoff
-            fp2, max_deg = _fingerprint(nbr, fp[0] > skew_degree_cutoff)
+            # is big enough that a neighborhood could exceed the cutoff.
+            # 2x safety margin: the gate uses the PREVIOUS round's edge count
+            # as a proxy, and one small-star round can grow the symmetrized
+            # edge set up to ~2x (linked + per-u self-links, both
+            # re-symmetrized) — without the margin, a round crossing the
+            # cutoff from just below would skip degree measurement and the
+            # NEXT round would run the window fast path on a hot
+            # neighborhood above the cutoff (the OOM/straggler case the
+            # cutoff exists to prevent).
+            fp2, max_deg = _fingerprint(nbr, 2 * fp[0] > skew_degree_cutoff)
             if fp2 == fp:
                 break
             fp = fp2

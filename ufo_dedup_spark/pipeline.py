@@ -52,6 +52,17 @@ from ufo_dedup_spark.operators.substring import (
 # prefix_key_chars == PREFIX_MIN_CHARS at construction.
 PREFIX_MIN_CHARS = 20
 
+# Bumped whenever stage SEMANTICS or an inter-stage schema changes without
+# any PipelineConfig field changing (mirrors SIGNATURE_VERSION for the hash
+# kernels). Part of the checkpoint config fingerprint: a workdir written by
+# a different logic version must not resume — e.g. the round-5 change that
+# derives starts-with eligibility from prepare_tokens._pk (candidates no
+# longer carry _pfx; doc_tokens gained a column) would otherwise silently
+# mix old-rule and new-rule verified buckets in one output.
+#   2: _pk-based starts-with eligibility; candidates schema lost _pfx,
+#      doc_tokens schema gained _pk (round 5)
+PIPELINE_LOGIC_VERSION = 2
+
 
 @dataclass
 class PipelineConfig:
@@ -205,16 +216,18 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # resolve multi-method duplicates (best priority wins) with a hash
     # min_by aggregation — map-side combinable, no full sort of the
     # candidate union — then cap the per-doc candidate fan-in.
-    # _pfx survives the collapse as a flag: the 0.95 starts-with rule is
-    # the PREFIX TIER's verification rule, so the verify stage needs to
-    # know a pair came through the prefix band even when a higher-priority
-    # method claims its label — and only those pairs need the text join.
+    # No prefix flag is threaded through: starts-with eligibility is
+    # re-derived in verify_candidate_pairs from the per-doc prefix key
+    # (prepare_tokens._pk), so EVERY candidate pair whose texts share a
+    # 20-char prefix gets the 0.95 rule — matching the reference, which
+    # applies the shortcut inside compute_similarity for every pair in
+    # every tier (reference dedup.py:110-116), not only pairs the prefix
+    # band happened to surface.
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
         prio = prio.when(F.col("method") == m, F.lit(p))
     out = out.groupBy("id_a", "id_b").agg(
         F.min_by(F.col("method"), prio.otherwise(F.lit(99))).alias("method"),
-        F.max((F.col("method") == "prefix").cast("int")).alias("_pfx"),
     )
     # Per-doc fan-in cap, applied on BOTH sides of the pair: an edge survives
     # if it is within either endpoint's K nearest (smallest-id) partners.
@@ -237,28 +250,35 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def prepare_tokens(docs: DataFrame) -> DataFrame:
-    """Per-doc verification inputs: sorted xxhash64 token set and
-    distinct-token count. Computed once per corpus, reused by every
+    """Per-doc verification inputs: distinct xxhash64 token set, its count,
+    and the 20-char prefix key ``_pk`` (NULL for docs shorter than the
+    prefix band's minimum). Computed once per corpus, reused by every
     verification bucket.
 
     Deliberately does NOT carry the lowered text: the verify join ships
     this table's payload through two exchanges per candidate pair, and the
-    only consumer of full text — the prefix tier's starts-with rule — runs
-    as its own narrow join over just the prefix-family pairs
-    (verify_candidate_pairs), not over every candidate."""
+    only consumer of full text — the starts-with rule — runs as its own
+    narrow join over just the prefix-eligible pairs (derived from ``_pk``
+    equality in verify_candidate_pairs), not over every candidate."""
     # no array_sort: array_intersect is hash-set based, so ordering buys
     # nothing downstream and the per-doc O(n log n) comparator pass was
     # ~1/3 of this stage's JVM time; array_distinct alone is O(n)
+    lt = F.lower(F.trim(F.col("text")))
     return docs.select(
         "id",
         F.array_distinct(
             F.transform(
-                F.array_remove(
-                    F.split(F.lower(F.trim(F.col("text"))), "\\s+"), ""
-                ),
+                F.array_remove(F.split(lt, "\\s+"), ""),
                 lambda t: F.xxhash64(t),
             )
         ).alias("_tok"),
+        # prefix key: 8 bytes per doc riding the existing exchanges. NULL
+        # (not a sentinel) below the length gate so NULL-safe-equality is
+        # never needed — a NULL key can't equal anything.
+        F.when(
+            F.length(lt) >= PREFIX_MIN_CHARS,
+            F.xxhash64(F.substring(lt, 1, PREFIX_MIN_CHARS)),
+        ).alias("_pk"),
     ).withColumn("_n", F.size("_tok"))
 
 
@@ -269,24 +289,28 @@ def verify_candidate_pairs(
     prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Exact verification: token Jaccard for every candidate, plus the
-    prefix TIER's >=20-char starts-with rule at 0.95 for pairs that came
-    through the prefix band. Returns canonical scored pairs.
+    reference's >=20-char starts-with rule at 0.95 — applied to EVERY
+    candidate pair whose texts share a 20-char prefix, whichever band
+    surfaced the pair (reference dedup.py:110-116 runs the shortcut inside
+    compute_similarity for every pair in every tier). Returns canonical
+    scored pairs.
 
     Cost discipline, per-pair: tokenization happens ONCE PER DOC, not once
-    per pair — each doc is pre-reduced to a sorted array of xxhash64 token
+    per pair — each doc is pre-reduced to an array of xxhash64 token
     hashes plus its distinct-token count, so the per-pair work is a single
     long-array intersect and arithmetic (measured ~10x cheaper than
     per-pair string tokenization at 70k candidates). 64-bit token-hash
     collisions perturb Jaccard by < 1e-4 — far below the threshold.
 
     Cost discipline, per-byte: full document text enters ONLY the narrow
-    prefix-family join (pairs flagged _pfx by the prefix band — the one
-    tier whose rule needs text). The main verification join moves token
-    arrays and counts, nothing else; shipping every doc's lowered text
-    through both exchanges of the big join (the round-3 shape) roughly
-    doubled the phase's shuffle bytes to serve a rule that only the prefix
-    tier defines. Mirrors the reference's tiered design: each tier applies
-    its own verification rule (SURVEY.md T-2d / K2 0.95 starts-with).
+    starts-with join, and that join is STRUCTURALLY narrow: eligibility is
+    decided by an 8-byte prefix-key equi-check over the candidate list,
+    and the text sides are left-semi-pruned to the eligible pair family
+    before any text moves. The bound holds with AQE off — it does not rely
+    on the optimizer choosing to broadcast the pair side. The main
+    verification join moves token arrays and counts, nothing else
+    (shipping every doc's lowered text through both exchanges of the big
+    join — the round-3 shape — roughly doubled the phase's shuffle bytes).
     """
     if prepped is None:
         prepped = prepare_tokens(docs).localCheckpoint(eager=True)
@@ -299,7 +323,6 @@ def verify_candidate_pairs(
         F.col("id").alias("id_b"),
         F.col("_tok").alias("_tok_b"), F.col("_n").alias("_nb"),
     )
-    has_pfx = "_pfx" in cands.columns
     j = cands.join(a, "id_a").join(b, "id_b")
 
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
@@ -307,46 +330,62 @@ def verify_candidate_pairs(
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )
-    scored = j.select(
-        "id_a", "id_b", jac.alias("score"), "method",
-        *(["_pfx"] if has_pfx else []),
-    )
+    scored = j.select("id_a", "id_b", jac.alias("score"), "method")
 
-    if has_pfx:
-        ta = docs.select(
-            F.col("id").alias("id_a"),
-            F.lower(F.trim(F.col("text"))).alias("_ta"),
+    # --- starts-with rule, structurally narrow ---
+    # 1) eligibility from the 8-byte prefix key: a >=20-char doc that is a
+    #    prefix of another implies both share the same first 20 lowered/
+    #    trimmed chars, so _pk equality is a necessary condition — and the
+    #    check joins only (id, _pk), never text.
+    pk = prepped.select("id", "_pk")
+    elig = (
+        cands.select("id_a", "id_b")
+        .join(pk.select(F.col("id").alias("id_a"), F.col("_pk").alias("_pka")),
+              "id_a")
+        .join(pk.select(F.col("id").alias("id_b"), F.col("_pk").alias("_pkb")),
+              "id_b")
+        .filter(F.col("_pka").isNotNull() & (F.col("_pka") == F.col("_pkb")))
+        .select("id_a", "id_b")
+    )
+    # 2) text moves only for the eligible family: semi-join docs down to
+    #    the ids appearing in an eligible pair, THEN join the texts. With
+    #    AQE off this is still a bounded exchange (family-sized); with AQE
+    #    on the tiny sides broadcast.
+    fam_ids = (
+        elig.select(F.col("id_a").alias("id"))
+        .unionByName(elig.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    fam = docs.join(fam_ids, "id", "left_semi").select(
+        "id", F.lower(F.trim(F.col("text"))).alias("_t")
+    )
+    # both endpoints carry a non-NULL _pk, so each text is >=20 chars by
+    # construction — no length re-check needed
+    is_prefix = F.col("_ta").startswith(F.col("_tb")) | F.col(
+        "_tb"
+    ).startswith(F.col("_ta"))
+    pfx = (
+        elig.join(
+            fam.select(F.col("id").alias("id_a"), F.col("_t").alias("_ta")),
+            "id_a",
         )
-        tb = docs.select(
-            F.col("id").alias("id_b"),
-            F.lower(F.trim(F.col("text"))).alias("_tb"),
+        .join(
+            fam.select(F.col("id").alias("id_b"), F.col("_t").alias("_tb")),
+            "id_b",
         )
-        is_prefix = (
-            (F.length("_ta") >= PREFIX_MIN_CHARS)
-            & (F.length("_tb") >= PREFIX_MIN_CHARS)
-            & (
-                F.col("_ta").startswith(F.col("_tb"))
-                | F.col("_tb").startswith(F.col("_ta"))
-            )
+        .select("id_a", "id_b", is_prefix.alias("_is_pfx"))
+    )
+    scored = (
+        scored.join(pfx, ["id_a", "id_b"], "left")
+        .withColumn(
+            "score",
+            F.when(
+                F.coalesce(F.col("_is_pfx"), F.lit(False)),
+                F.greatest(F.col("score"), F.lit(0.95)),
+            ).otherwise(F.col("score")),
         )
-        pfx = (
-            cands.filter(F.col("_pfx") == 1)
-            .select("id_a", "id_b")
-            .join(ta, "id_a")
-            .join(tb, "id_b")
-            .select("id_a", "id_b", is_prefix.alias("_is_pfx"))
-        )
-        scored = (
-            scored.join(pfx, ["id_a", "id_b"], "left")
-            .withColumn(
-                "score",
-                F.when(
-                    F.coalesce(F.col("_is_pfx"), F.lit(False)),
-                    F.greatest(F.col("score"), F.lit(0.95)),
-                ).otherwise(F.col("score")),
-            )
-            .drop("_is_pfx", "_pfx")
-        )
+        .drop("_is_pfx")
+    )
 
     scored = scored.select(
         "id_a", "id_b", "score", "method", F.lit("pending").alias("status")
@@ -588,11 +627,19 @@ def run_pipeline_checkpointed(
     # SIGNATURE_VERSION is part of the fingerprint: a kernel rewrite changes
     # signature bytes even when every cfg field matches, and resuming buckets
     # computed under old hash functions would silently mix incompatible
-    # candidate sets.
+    # candidate sets. PIPELINE_LOGIC_VERSION covers the complementary case:
+    # stage semantics / inter-stage schema changes with identical cfg and
+    # kernels (see its definition above).
     mgr = CheckpointManager(
         spark,
         workdir,
-        config_fingerprint(cfg, EXTRACTOR_VERSION, SIGNATURE_VERSION, use_extractor),
+        config_fingerprint(
+            cfg,
+            EXTRACTOR_VERSION,
+            SIGNATURE_VERSION,
+            PIPELINE_LOGIC_VERSION,
+            use_extractor,
+        ),
     )
 
     docs = mgr.stage(
