@@ -31,7 +31,16 @@ def main():
     pages, truth_pairs, truth_clusters = corpus_dataframes(
         spark, SynthConfig(n_docs=args.rows, seed=args.seed)
     )
-    pages = pages.persist()
+    # pages carries html (the largest column); above the pipeline's disk
+    # threshold, deserialized residency of the corpus alone would crowd the
+    # stage barriers out of the heap (the 2M roll-off) — serialize to disk
+    cfg = PipelineConfig()
+    if args.rows >= cfg.barrier_disk_threshold_rows:
+        from pyspark.storagelevel import StorageLevel
+
+        pages = pages.persist(StorageLevel.DISK_ONLY)
+    else:
+        pages = pages.persist()
     n_pages = pages.count()
 
     def _next_job_id() -> int:
@@ -40,7 +49,7 @@ def main():
     j0 = _next_job_id()
     t0 = time.time()
     phases: dict = {}
-    result = run_pipeline(spark, pages, PipelineConfig(), timings=phases)
+    result = run_pipeline(spark, pages, cfg, timings=phases, n_docs_hint=n_pages)
     # the stages after cheap_cc are lazy: the pairs count materializes
     # substring-LCS + first-wins dedup, the clusters count the final CC —
     # timing the two actions completes the per-phase table

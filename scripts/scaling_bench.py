@@ -57,6 +57,24 @@ def main():
     ap.add_argument("--rows", type=int, default=50000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--mode", choices=["local", "local-cluster"], default="local",
+        help="local = one JVM with K threads (local[K] at both levels). "
+             "local-cluster = SEPARATE EXECUTOR JVMS on this host: the low "
+             "leg runs 1 executor, the high leg N executors, each with "
+             "--exec-cores cores and --exec-mem-mb fixed per-executor "
+             "memory — the honest in-sandbox analog of BASELINE.json's "
+             "'N vs 4N executors' (each executor owns its GC, shuffle "
+             "server and Python worker fleet).")
+    ap.add_argument("--exec-cores", type=int, default=8,
+                    help="local-cluster mode: cores per executor")
+    ap.add_argument("--exec-mem-mb", type=int, default=16384,
+                    help="local-cluster mode: memory per executor (MB), "
+                         "held FIXED across both levels like a real "
+                         "cluster's per-executor grant")
+    ap.add_argument("--executors-high", type=int, default=4,
+                    help="local-cluster mode: executor count of the high "
+                         "leg (low leg is always 1)")
     ap.add_argument("--reps", type=int, default=2,
                     help="legs per level; MIN elapsed wins (one-sided "
                          "shared-host noise: slow runs are contention, "
@@ -68,6 +86,19 @@ def main():
                          "core-count default")
     ap.add_argument("--update-bench-md", action="store_true")
     args = ap.parse_args()
+
+    if args.mode == "local-cluster":
+        # executor-count scaling at fixed per-executor shape
+        args.low = args.exec_cores
+        args.high = args.executors_high * args.exec_cores
+        low_master = f"local-cluster[1,{args.exec_cores},{args.exec_mem_mb}]"
+        high_master = (
+            f"local-cluster[{args.executors_high},{args.exec_cores},"
+            f"{args.exec_mem_mb}]"
+        )
+    else:
+        low_master = f"local[{args.low}]"
+        high_master = f"local[{args.high}]"
 
     # hardware ceiling first (cheap): what the box itself gives N -> 4N
     # busy cores for coordination-free parallel arithmetic
@@ -99,8 +130,8 @@ def main():
         best["phases_all_reps"] = [r.get("phases", {}) for r in runs]
         return best, [r["elapsed_sec"] for r in runs]
 
-    low, low_all = best_of(f"local[{args.low}]")
-    high, high_all = best_of(f"local[{args.high}]")
+    low, low_all = best_of(low_master)
+    high, high_all = best_of(high_master)
     assert (low["pairs"], low["multi_clusters"]) == (
         high["pairs"], high["multi_clusters"]
     ), "outputs must be identical across parallelism levels"
@@ -112,9 +143,12 @@ def main():
 
     result = {
         "metric": "scaling_efficiency",
+        "mode": args.mode,
         "rows": args.rows,
-        "low": {"cores": args.low, "all_elapsed_sec": low_all, **low},
-        "high": {"cores": args.high, "all_elapsed_sec": high_all, **high},
+        "low": {"cores": args.low, "master": low_master,
+                "all_elapsed_sec": low_all, **low},
+        "high": {"cores": args.high, "master": high_master,
+                 "all_elapsed_sec": high_all, **high},
         "speedup": round(speedup, 3),
         "core_ratio": ratio,
         "efficiency": round(efficiency, 3),
@@ -132,7 +166,42 @@ def main():
     print(json.dumps(result))
 
     if args.update_bench_md:
-        md = f"""## Measured scaling (local[{args.low}] vs local[{args.high}], identical input)
+        common_tail = f"""Both levels run the full web-dedup pipeline (extract -> MinHash/SimHash/LSH
+-> prefix/winnow candidates -> exact verification -> substring LCS ->
+union-find clustering) on the identical deterministic synthetic corpus in a
+fresh JVM per leg; corpus generation and Spark startup are excluded from the
+timed window; each level runs {args.reps}x and the MIN is reported (shared-
+host noise is one-sided). Pair/cluster outputs are identical at both levels
+and every rep (pairs={low['pairs']}, multi_clusters={low['multi_clusters']}).
+"""
+        if args.mode == "local-cluster":
+            marker = "## Multi-executor scaling"
+            md = f"""{marker} (local-cluster: 1 vs {args.executors_high} executor JVMs, identical input)
+
+The faithful analog of BASELINE.json's "N vs 4N executors": each executor
+is a SEPARATE JVM with its own {args.exec_mem_mb} MB heap, GC, shuffle
+server and Python worker fleet; the per-executor shape
+({args.exec_cores} cores x {args.exec_mem_mb} MB) is held fixed and only
+the executor COUNT varies, exactly like scaling out a real cluster.
+
+| level | executors | total cores | rows | elapsed (s), min of {args.reps} | docs/sec | all reps (s) |
+|---|---|---|---|---|---|---|
+| N | 1 | {args.low} | {args.rows} | {low['elapsed_sec']} | {low['docs_per_sec']} | {low_all} |
+| 4N | {args.executors_high} | {args.high} | {args.rows} | {high['elapsed_sec']} | {high['docs_per_sec']} | {high_all} |
+
+speedup = {speedup:.2f}x over a {ratio:.0f}x executor ratio ->
+**multi-executor scaling efficiency = {efficiency:.3f}** (target >= 0.8)
+
+Hardware ceiling on this box for the same core counts
+(scripts/cpu_calibration.py, pure-numpy processes, zero coordination):
+speedup {hw['hardware_speedup']:.2f}x -> hardware efficiency =
+{hw['hardware_efficiency']:.3f}; efficiency vs that ceiling =
+**{normalized:.3f}**.
+
+{common_tail}"""
+        else:
+            marker = "## Measured scaling"
+            md = f"""{marker} (local[{args.low}] vs local[{args.high}], identical input)
 
 | level | cores | rows | elapsed (s), min of {args.reps} | docs/sec | all reps (s) |
 |---|---|---|---|---|---|
@@ -150,24 +219,23 @@ this shared VM does not deliver {ratio:.0f}x arithmetic throughput even with
 no framework at all, so the engine's coordination efficiency is
 raw / hardware = **{normalized:.3f}**.
 
-Both levels run the full web-dedup pipeline (extract -> MinHash/SimHash/LSH
--> prefix/winnow candidates -> exact verification -> substring LCS ->
-union-find clustering) on the identical deterministic synthetic corpus in a
-fresh JVM per leg; corpus generation and Spark startup are excluded from the
-timed window; each level runs {args.reps}x and the MIN is reported (shared-
-host noise is one-sided). Pair/cluster outputs are identical at both levels
-and every rep (pairs={low['pairs']}, multi_clusters={low['multi_clusters']}).
-"""
+{common_tail}"""
+        import re
+
         path = os.path.join(REPO, "BENCH.md")
-        existing = ""
+        existing = "# BENCH — measured performance evidence\n"
         if os.path.exists(path):
             with open(path) as f:
                 existing = f.read()
-            head = existing.split("## Measured scaling", 1)[0].rstrip()
+        # upsert ONLY this mode's section: replace from its marker up to
+        # the next top-level heading (or EOF), preserving everything else
+        pat = re.compile(re.escape(marker) + r".*?(?=\n## |\Z)", re.S)
+        if pat.search(existing):
+            new = pat.sub(lambda _m: md.rstrip() + "\n", existing)
         else:
-            head = "# BENCH — measured performance evidence\n"
+            new = existing.rstrip() + "\n\n" + md
         with open(path, "w") as f:
-            f.write(head + "\n\n" + md)
+            f.write(new)
 
 
 if __name__ == "__main__":

@@ -270,6 +270,28 @@ def test_pipeline_aqe_off_same_output(spark, corpus, result):
     assert got == want
 
 
+def test_disk_barriers_same_output(spark, corpus, result):
+    """barrier_storage='disk' (the auto choice above the 1.5M-doc
+    threshold) must be a pure storage decision: identical pairs to the
+    default in-memory barriers."""
+    pages, _, _ = corpus
+    want = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in result["pairs"].collect()
+    }
+    r2 = run_pipeline(spark, pages, PipelineConfig(barrier_storage="disk"))
+    got = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in r2["pairs"].collect()
+    }
+    assert got == want
+
+
+def test_barrier_storage_validated():
+    with pytest.raises(ValueError, match="barrier_storage"):
+        PipelineConfig(barrier_storage="ssd")
+
+
 def test_methods_present(result):
     methods = {
         r["method"] for r in result["pairs"].select("method").distinct().collect()

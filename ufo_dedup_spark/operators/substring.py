@@ -189,15 +189,20 @@ def substring_candidate_pairs(
     gram_chars: int = 64,
     window: int = 137,
     all_pairs_cap: int = 64,
+    barrier_level=None,
 ) -> DataFrame:
-    """Distinct candidate pairs sharing >= 1 winnowed fingerprint."""
+    """Distinct candidate pairs sharing >= 1 winnowed fingerprint.
+
+    ``barrier_level``: optional StorageLevel for the fingerprint barrier
+    (the pipeline passes DISK_ONLY above its barrier_disk_threshold_rows —
+    the exploded fingerprint table is corpus-sized)."""
     winnow = make_winnow_udf(gram_chars=gram_chars, window=window)
     # materialized: pairs_within_groups scans the fingerprint table twice,
     # and the winnow UDF is the expensive part
     fps = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(winnow(F.col(text_col))).alias("fp"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=barrier_level)
     pairs = pairs_within_groups(fps, ["fp"], "_id", all_pairs_cap)
     return pairs.select("id_a", "id_b").distinct()
 

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ufo_dedup_spark.functions.extract import extract_text_udf
 from ufo_dedup_spark.functions.hashing import make_minhash_udf, make_simhash_udf
@@ -111,6 +112,21 @@ class PipelineConfig:
     substring_window: int = 137
     substring_min_span: int = 200
 
+    # Storage for the corpus-sized stage barriers (docs / signatures /
+    # tokens / winnow fingerprints). 'memory' = Spark's default
+    # deserialized MEMORY_AND_DISK; 'disk' = serialized DISK_ONLY; 'auto'
+    # picks disk at or above ``barrier_disk_threshold_rows`` docs (from the
+    # caller's n_docs_hint, else one cheap count of the materialized docs
+    # barrier). Rationale: deserialized JVM residency of docs + token
+    # arrays + signatures is ~5x their serialized size, and above ~1.5M
+    # docs the barriers evict/thrash one another in a single local heap
+    # (docs_extract measured 3.7 -> 47.7 s going 1M -> 2M). A real cluster
+    # spreads them over executors — and the checkpointed pipeline's parquet
+    # barriers never had the problem — so this only changes single-process
+    # behavior at scale. Small runs keep the faster in-memory barriers.
+    barrier_storage: str = "auto"
+    barrier_disk_threshold_rows: int = 1_500_000
+
     def __post_init__(self):
         assert self.bands * self.rows_per_band <= self.num_perm
         if (
@@ -124,6 +140,11 @@ class PipelineConfig:
                 f"the winnowing guarantee only covers shared spans >= "
                 f"gram + window - 1, so a wider window can miss true "
                 f">= min_span spans"
+            )
+        if self.barrier_storage not in ("auto", "memory", "disk"):
+            raise ValueError(
+                f"barrier_storage must be 'auto', 'memory' or 'disk' "
+                f"(got {self.barrier_storage!r})"
             )
         if self.prefix_key_chars != PREFIX_MIN_CHARS:
             raise ValueError(
@@ -180,7 +201,11 @@ def prefix_candidate_pairs(
     )
 
 
-def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def candidate_pairs(
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    barrier_level: StorageLevel | None = None,
+) -> DataFrame:
     """Union of all candidate generators with method labels (priority order
     resolves multi-method hits downstream)."""
     minhash = make_minhash_udf(cfg.num_perm, cfg.shingle_k, cfg.seed)
@@ -194,7 +219,7 @@ def candidate_pairs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "id",
         minhash(F.col("text")).alias("minhash"),
         simhash(F.col("text")).alias("simhash"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=barrier_level)
 
     parts = [
         exact_dup_pairs(docs, "id", "text", cfg.all_pairs_cap)
@@ -466,6 +491,7 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     use_extractor: bool = True,
     timings: dict | None = None,
+    n_docs_hint: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline -> {'docs', 'pairs', 'clusters'} DataFrames.
 
@@ -479,8 +505,20 @@ def run_pipeline(
     cheap_cc). Branches overlap, so their durations sum to more than the
     wall they occupy; the stages after cheap_cc are lazy and land in the
     caller's first action (run_pipeline.py times those separately).
+
+    ``n_docs_hint``: approximate corpus size, used only to pick barrier
+    storage up front under barrier_storage='auto' (the docs barrier itself
+    can then go to disk); without it, auto decides after counting the
+    materialized docs barrier.
     """
     cfg = cfg or PipelineConfig()
+
+    def _want_disk(n: int | None) -> bool | None:
+        if cfg.barrier_storage == "disk":
+            return True
+        if cfg.barrier_storage == "memory":
+            return False
+        return None if n is None else n >= cfg.barrier_disk_threshold_rows
 
     def _mark(key: str, t0: float) -> None:
         if timings is not None:
@@ -492,9 +530,16 @@ def run_pipeline(
     # would let each branch recompute the full upstream (measured 3x
     # wall-clock at 20k docs). On a cluster these barriers are the
     # per-stage checkpoint writes.
+    disk = _want_disk(n_docs_hint)
     docs = prepare_documents(pages, use_extractor=use_extractor).localCheckpoint(
-        eager=True
+        eager=True,
+        storageLevel=StorageLevel.DISK_ONLY if disk else None,
     )
+    if disk is None:
+        # auto with no hint: one cheap count of the materialized barrier
+        # decides storage for the remaining (larger) corpus-sized barriers
+        disk = _want_disk(docs.count())
+    barrier_level = StorageLevel.DISK_ONLY if disk else None
     _mark("docs_extract", _t)
 
     # The three doc-derived materializations — MinHash/SimHash signatures
@@ -522,11 +567,17 @@ def run_pipeline(
     # signature UDFs; winnow starts as soon as one finishes).
     _t_block = time.time()
     with ThreadPoolExecutor(max_workers=2) as ex:
-        f_cands = ex.submit(_in_pool, "signatures", lambda: candidate_pairs(docs, cfg))
+        f_cands = ex.submit(
+            _in_pool,
+            "signatures",
+            lambda: candidate_pairs(docs, cfg, barrier_level=barrier_level),
+        )
         f_tokens = ex.submit(
             _in_pool,
             "tokens",
-            lambda: prepare_tokens(docs).localCheckpoint(eager=True),
+            lambda: prepare_tokens(docs).localCheckpoint(
+                eager=True, storageLevel=barrier_level
+            ),
         )
         f_subc = (
             ex.submit(
@@ -535,6 +586,7 @@ def run_pipeline(
                 lambda: substring_candidate_pairs(
                     docs, "id", "text", cfg.substring_gram,
                     cfg.substring_window, cfg.all_pairs_cap,
+                    barrier_level=barrier_level,
                 ),
             )
             if cfg.substring_enabled

@@ -9,6 +9,7 @@ transfer), and a shuffle-partition count sized to the parallelism level.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import zipfile
 
@@ -68,14 +69,24 @@ def build_session(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    # local[K], local[*], and local[K,maxFailures] forms: only the leading
-    # token before an optional comma is the thread count
-    n = master[master.index("[") + 1 : -1] if "[" in master else "8"
-    n = n.split(",", 1)[0].strip()
-    try:
-        cores = (os.cpu_count() or 8) if n == "*" else int(n)
-    except ValueError:
-        cores = os.cpu_count() or 8
+    # local-cluster[numWorkers,coresPerWorker,memPerWorkerMB]: separate
+    # executor JVMs on this host — the in-sandbox analog of a multi-executor
+    # cluster (each worker gets its own heap, GC, shuffle path and Python
+    # worker fleet). Total cores = workers x coresPerWorker.
+    lc = None
+    if master.startswith("local-cluster["):
+        parts = master[master.index("[") + 1 : -1].split(",")
+        lc = (int(parts[0]), int(parts[1]), int(parts[2]))
+        cores = lc[0] * lc[1]
+    else:
+        # local[K], local[*], and local[K,maxFailures] forms: only the
+        # leading token before an optional comma is the thread count
+        n = master[master.index("[") + 1 : -1] if "[" in master else "8"
+        n = n.split(",", 1)[0].strip()
+        try:
+            cores = (os.cpu_count() or 8) if n == "*" else int(n)
+        except ValueError:
+            cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "").strip()
         if env_sp:
@@ -130,11 +141,14 @@ def build_session(
         # collect_list / sort stages spill (measured ~9% wall-clock at 100k
         # docs). ~600MB/core with an 8g floor: 8g up to 13 cores, ~19g at
         # 32, and a small-core host never demands more heap than it would
-        # have under the old 8g default. SPARK_GRAFT_DRIVER_MEM overrides.
+        # have under the old 8g default. In local-cluster mode the driver
+        # executes no tasks, so a flat 4g suffices (executors carry the
+        # per-core grant instead). SPARK_GRAFT_DRIVER_MEM overrides.
         .config(
             "spark.driver.memory",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", f"{max(8 * 1024, 600 * cores)}m"
+                "SPARK_GRAFT_DRIVER_MEM",
+                "4g" if lc else f"{max(8 * 1024, 600 * cores)}m",
             ),
         )
         .config(
@@ -149,6 +163,17 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if lc:
+        # one executor per worker at full worker capacity, and the exact
+        # interpreter running the driver for executor-side Python workers
+        # (worker JVMs inherit a minimal environment)
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", f"{lc[2]}m"),
+            )
+            .config("spark.pyspark.python", sys.executable)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
