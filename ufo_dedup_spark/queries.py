@@ -1539,6 +1539,35 @@ def ann_near_dup_pairs_probed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_probed_recall")  # no oracle: the probed count is
+# impl-defined (probe-width dependent); the full-probe count is oracled
+# transitively via the green ann_near_dup_pairs row. This one-row counter
+# makes probe-width recall DRIFT visible per round in the driver record —
+# a kernel/centroid regression that silently narrows effective probe
+# coverage shows up here as a falling probed_pairs/recall without waiting
+# for the pytest battery.
+def ann_probed_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: production-probe pair count vs full-probe (== brute force)
+    pair count and their ratio (recall; precision is exactly 1.0 by the
+    ann_probed_containment gate)."""
+    from ufo_dedup_spark.operators.similarity_search import ann_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    probed = ann_near_dup_pairs(e, threshold=0.3, n_centroids=16, n_probe=4)
+    full = ann_near_dup_pairs(e, threshold=0.3, n_centroids=16, n_probe=16)
+    return (
+        probed.agg(F.count(F.lit(1)).alias("probed_pairs"))
+        .crossJoin(full.agg(F.count(F.lit(1)).alias("full_pairs")))
+        .select(
+            "probed_pairs",
+            "full_pairs",
+            F.round(
+                F.col("probed_pairs") / F.col("full_pairs"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 @register("ivf_topk_embeddings")  # no oracle: probe set is impl-defined
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors (pytest asserts equality
