@@ -24,15 +24,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_leg(cores: int, n_pairs: int, n_docs: int) -> float:
-    """One fresh-JVM leg; returns elapsed seconds of the timed join job."""
+def run_leg(master: str, n_pairs: int, n_docs: int) -> float:
+    """One fresh leg (fresh driver + executor JVMs); returns elapsed
+    seconds of the timed join job."""
     code = f"""
 import sys, time
 sys.path.insert(0, {REPO!r})
 from pyspark.sql import functions as F
 from ufo_dedup_spark.session import build_session
 
-spark = build_session(app_name="shuffle-cal", master="local[{cores}]",
+spark = build_session(app_name="shuffle-cal", master={master!r},
                       shuffle_partitions=64,
                       extra_conf={{
                           # force real exchanges: the array table is ~1GB
@@ -85,19 +86,50 @@ def main():
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--mode", choices=["local", "local-cluster"], default="local",
+        help="local = one JVM, K threads. local-cluster = the SAME "
+             "zero-engine-code job across separate executor JVMs on this "
+             "host (1 vs --executors-high executors at a fixed "
+             "per-executor shape): the control for the engine's "
+             "multi-executor scaling number — whatever a plain Spark "
+             "shuffle join loses when its exchange crosses JVM "
+             "boundaries on one box is machine ceiling, not engine.")
+    ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--exec-mem-mb", type=int, default=16384)
+    ap.add_argument("--executors-high", type=int, default=4)
     args = ap.parse_args()
 
-    low = min(run_leg(args.low, args.pairs, args.docs) for _ in range(args.reps))
-    high = min(run_leg(args.high, args.pairs, args.docs) for _ in range(args.reps))
+    if args.mode == "local-cluster":
+        args.low = args.exec_cores
+        args.high = args.executors_high * args.exec_cores
+        low_master = f"local-cluster[1,{args.exec_cores},{args.exec_mem_mb}]"
+        high_master = (
+            f"local-cluster[{args.executors_high},{args.exec_cores},"
+            f"{args.exec_mem_mb}]"
+        )
+    else:
+        low_master = f"local[{args.low}]"
+        high_master = f"local[{args.high}]"
+
+    low = min(
+        run_leg(low_master, args.pairs, args.docs) for _ in range(args.reps)
+    )
+    high = min(
+        run_leg(high_master, args.pairs, args.docs) for _ in range(args.reps)
+    )
     ratio = args.high / args.low
     print(
         json.dumps(
             {
                 "metric": "shuffle_join_ceiling",
+                "mode": args.mode,
                 "pairs": args.pairs,
                 "docs": args.docs,
                 "low_cores": args.low,
                 "high_cores": args.high,
+                "low_master": low_master,
+                "high_master": high_master,
                 "low_sec": round(low, 2),
                 "high_sec": round(high, 2),
                 "speedup": round(low / high, 3),

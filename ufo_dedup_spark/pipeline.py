@@ -333,9 +333,15 @@ def verify_candidate_pairs(
     and the text sides are left-semi-pruned to the eligible pair family
     before any text moves. The bound holds with AQE off — it does not rely
     on the optimizer choosing to broadcast the pair side. The main
-    verification join moves token arrays and counts, nothing else
-    (shipping every doc's lowered text through both exchanges of the big
-    join — the round-3 shape — roughly doubled the phase's shuffle bytes).
+    verification join moves token arrays and counts, nothing else.
+    Measured (scripts/verify_shuffle_bytes.py, forced-exchange plans,
+    identical outputs): 151.4 vs 164.7 MB of verify-phase shuffle writes
+    against the round-3 text-through-the-big-join shape — an 8% saving at
+    the synthetic corpus's doc-length profile, where the xxhash64 token
+    arrays weigh nearly as much as the text they displace. The win grows
+    with doc length (tokens dedup to distinct hashes, text does not); the
+    structural point is the BOUND — text bytes can no longer scale with
+    the candidate count, only with the starts-with-eligible family.
     """
     if prepped is None:
         prepped = prepare_tokens(docs).localCheckpoint(eager=True)
