@@ -15,7 +15,6 @@ Usage: python scripts/verify_shuffle_bytes.py [--rows 20000] [--cores 16]
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import subprocess

@@ -37,3 +37,17 @@ def test_queries_run_at_tiny_sf(spark):
     for name in ["pricing_summary", "doc_blocking_pairs", "top_similar_embeddings"]:
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_ann_probed_recall_counter(spark):
+    """The probed-recall counter row must be a true containment ratio:
+    probed <= full (precision 1.0 is separately oracle-gated by
+    ann_probed_containment) and recall well above the probe-width floor —
+    a centroid/kernel regression that narrows effective probe coverage
+    shows up here first."""
+    row = entrymod.queries()["ann_probed_recall"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["probed_pairs"] <= r["full_pairs"]
+    assert 0.8 <= r["recall"] <= 1.0
