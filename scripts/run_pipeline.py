@@ -6,6 +6,7 @@ Usage: python scripts/run_pipeline.py [--rows N] [--seed S] [--master M]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -33,12 +34,23 @@ def main():
     )
     # pages carries html (the largest column); above the pipeline's disk
     # threshold, deserialized residency of the corpus alone would crowd the
-    # stage barriers out of the heap (the 2M roll-off) — serialize to disk
+    # stage barriers out of the heap (the 2M roll-off) — and in
+    # multi-executor (local-cluster) runs RDD disk blocks are resident on
+    # the one executor that computed them, so every other executor
+    # re-reads the corpus through loopback block fetches (the r5 4-JVM
+    # docs_extract collapse, 33 -> 468 s). Parquet splits compress ~3-4x
+    # and read per-executor with OS page-cache help.
     cfg = PipelineConfig()
-    if args.rows >= cfg.barrier_disk_threshold_rows:
-        from pyspark.storagelevel import StorageLevel
+    lc = (args.master or "").startswith("local-cluster")
+    if args.rows >= cfg.barrier_disk_threshold_rows or lc:
+        import atexit
+        import shutil
+        import tempfile
 
-        pages = pages.persist(StorageLevel.DISK_ONLY)
+        d = tempfile.mkdtemp(prefix="ufo_synth_pages_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        pages.write.parquet(os.path.join(d, "pages"))
+        pages = spark.read.parquet(os.path.join(d, "pages"))
     else:
         pages = pages.persist()
     n_pages = pages.count()

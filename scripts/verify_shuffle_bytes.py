@@ -91,7 +91,9 @@ else:
         & (F.col("_ta").startswith(F.col("_tb"))
            | F.col("_tb").startswith(F.col("_ta")))
     )
-    score = F.when(is_pfx, F.greatest(jac, F.lit(0.95))).otherwise(jac)
+    # exact 0.95 on a starts-with hit, matching production (round 6:
+    # reference dedup.py:108-117 early-returns 0.95 before Jaccard)
+    score = F.when(is_pfx, F.lit(0.95)).otherwise(jac)
     out = j.select(
         "id_a", "id_b", score.alias("score"), "method"
     ).filter(F.col("score") >= cfg.verify_threshold)

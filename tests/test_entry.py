@@ -51,3 +51,31 @@ def test_ann_probed_recall_counter(spark):
     r = row[0]
     assert r["probed_pairs"] <= r["full_pairs"]
     assert 0.8 <= r["recall"] <= 1.0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_ann_probed_recall_floor_second_seed(spark):
+    """Probe-width recall is seed-sensitive (centroid init shifts bucket
+    boundaries), so the >=0.8 floor must hold beyond the production seed:
+    re-derive centroids with a different k-means seed and re-check the
+    probed/full containment + floor on the same embeddings."""
+    from pyspark.sql import functions as F
+
+    from ufo_dedup_spark.operators.similarity_search import (
+        ann_near_dup_pairs,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(e, n_centroids=16, seed=7)
+    probed = ann_near_dup_pairs(
+        e, threshold=0.3, n_centroids=16, n_probe=4, centroids=cents
+    )
+    full = ann_near_dup_pairs(
+        e, threshold=0.3, n_centroids=16, n_probe=16, centroids=cents
+    )
+    probed_set = {(r["id_a"], r["id_b"]) for r in probed.collect()}
+    full_set = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert probed_set <= full_set  # precision 1.0 by containment
+    assert full_set, "full-probe pair set empty at sf0.001"
+    assert len(probed_set) / len(full_set) >= 0.8

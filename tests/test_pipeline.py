@@ -298,3 +298,107 @@ def test_methods_present(result):
     }
     assert {"exact", "minhash_lsh"} <= methods
     assert "substring" in methods or "prefix" in methods
+
+
+def test_barrier_format_validated():
+    with pytest.raises(ValueError, match="barrier_format"):
+        PipelineConfig(barrier_format="csv")
+
+
+def test_parquet_barriers_same_output(spark, corpus, result):
+    """barrier_format='parquet' (the auto choice for disk / multi-executor
+    runs) must be a pure serving decision: identical pairs to the default
+    localCheckpoint barriers. (test_disk_barriers_same_output covers the
+    auto disk->parquet path; this pins the explicit override at in-memory
+    scale.)"""
+    pages, _, _ = corpus
+    want = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in result["pairs"].collect()
+    }
+    r2 = run_pipeline(spark, pages, PipelineConfig(barrier_format="parquet"))
+    got = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in r2["pairs"].collect()
+    }
+    assert got == want
+
+
+def test_startswith_pair_scores_exactly_095(spark):
+    """Reference parity (dedup.py:108-117): a starts-with hit EARLY-RETURNS
+    0.95 before Jaccard, so even byte-identical >=20-char texts must score
+    exactly 0.95 — not their Jaccard of 1.0."""
+    from ufo_dedup_spark.pipeline import verify_candidate_pairs
+
+    text = "identical twenty-plus character document body here"
+    docs = spark.createDataFrame(
+        [(1, "u1", text, "en"), (2, "u2", text, "en")],
+        "id long, url string, text string, lang string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2, "minhash_lsh")], "id_a long, id_b long, method string"
+    )
+    out = verify_candidate_pairs(cands, docs, PipelineConfig()).collect()
+    assert len(out) == 1
+    assert out[0]["score"] == pytest.approx(0.95)
+
+
+def test_cheap_cc_cap_never_loses_pairs(spark, corpus, result):
+    """cheap_cc_max_iter caps only the PRUNING clustering: a capped run may
+    verify (and emit) extra substring pairs between already-connected docs,
+    but must never lose a pair, and the final clusters — computed by the
+    always-exact final CC — must be identical."""
+    pages, _, _ = corpus
+    want_pairs = {
+        (r["id_a"], r["id_b"]) for r in result["pairs"].collect()
+    }
+    want_clusters = {
+        (r["id"], r["cluster_id"]) for r in result["clusters"].collect()
+    }
+    r2 = run_pipeline(spark, pages, PipelineConfig(cheap_cc_max_iter=1))
+    got_pairs = {
+        (r["id_a"], r["id_b"], r["method"]) for r in r2["pairs"].collect()
+    }
+    got_keys = {(a, b) for a, b, _m in got_pairs}
+    assert want_pairs <= got_keys
+    extra = got_keys - want_pairs
+    # anything extra can only come from less substring pruning
+    assert all(
+        m == "substring" for a, b, m in got_pairs if (a, b) in extra
+    )
+    got_clusters = {
+        (r["id"], r["cluster_id"]) for r in r2["clusters"].collect()
+    }
+    assert got_clusters == want_clusters
+
+
+def test_connected_components_capped_labels_sound(spark):
+    """At any max_iter the output labels must be a SOUND partition: two
+    nodes sharing a label are genuinely connected (finer than full closure
+    is fine, coarser is corruption). Two interleaved 12-node chains — the
+    worst diameter for star rounds — must never cross-label."""
+    from ufo_dedup_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    evens = [(2 * i, 2 * i + 2) for i in range(11)]
+    odds = [(2 * i + 1, 2 * i + 3) for i in range(11)]
+    edges = spark.createDataFrame(
+        evens + odds, "id_a long, id_b long"
+    )
+    for cap in (1, 2):
+        stats: dict = {}
+        out = connected_components(edges, max_iter=cap, stats=stats).collect()
+        label = {r["id"]: r["cluster_id"] for r in out}
+        by_label: dict = {}
+        for node, lab in label.items():
+            by_label.setdefault(lab, set()).add(node)
+        for lab, members in by_label.items():
+            parities = {n % 2 for n in members}
+            assert len(parities) == 1, (
+                f"max_iter={cap} mixed disconnected chains: {members}"
+            )
+        assert stats["rounds"] <= cap
+    # and uncapped converges to exactly two components
+    full = connected_components(edges).collect()
+    assert len({r["cluster_id"] for r in full}) == 2

@@ -137,8 +137,24 @@ def connected_components(
     # pure cost — scripts/cc_skew_bench.py), which is why the cutoff stays
     # high rather than 0.
     skew_degree_cutoff: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (id, cluster_id = component min id).
+
+    ``max_iter`` caps the driver rounds. At the cap the output is still a
+    SOUND partial clustering: every label is the min over a node's current
+    neighborhood, and star rounds only ever connect nodes within one true
+    component, so two nodes sharing a label are genuinely connected — the
+    partition is just finer than full transitive closure (some components
+    carry several labels). Callers that use the labels as a conservative
+    "already connected" prune (the pipeline's cheap_cc) can therefore run
+    capped: a finer partition only prunes LESS. Callers needing exact
+    components must leave the cap at its generous default.
+
+    ``stats`` (optional dict) is populated with {'rounds': driver rounds
+    run, 'converged': bool, 'entry_edges': symmetrized distinct edge count,
+    'final_edges': edge count at exit} — the per-round cost diagnostic for
+    large runs.
 
     Round materialization rides the convergence-check job: each round ends
     in a LAZY localCheckpoint — the logical plan truncates immediately
@@ -213,6 +229,10 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         fp, max_deg = _fingerprint(nbr, True)  # materializes nbr
+        if stats is not None:
+            stats["entry_edges"] = fp[0]
+            stats["rounds"] = 0
+            stats["converged"] = False
         for _ in range(0, max_iter, max(1, rounds_per_check)):
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(_round_partitions(fp[0]))
@@ -224,16 +244,26 @@ def connected_components(
             nbr = nbr.localCheckpoint(eager=False)
             # materializes this round; degree stats only while the edge set
             # is big enough that a neighborhood could exceed the cutoff.
-            # 2x safety margin: the gate uses the PREVIOUS round's edge count
-            # as a proxy, and one small-star round can grow the symmetrized
-            # edge set up to ~2x (linked + per-u self-links, both
-            # re-symmetrized) — without the margin, a round crossing the
-            # cutoff from just below would skip degree measurement and the
-            # NEXT round would run the window fast path on a hot
+            # Safety margin: the gate uses the PREVIOUS fingerprint's edge
+            # count as a proxy, and each small-star round can grow the
+            # symmetrized edge set up to ~2x (linked + per-u self-links,
+            # both re-symmetrized) — without the margin, a round crossing
+            # the cutoff from just below would skip degree measurement and
+            # the NEXT round would run the window fast path on a hot
             # neighborhood above the cutoff (the OOM/straggler case the
-            # cutoff exists to prevent).
-            fp2, max_deg = _fingerprint(nbr, 2 * fp[0] > skew_degree_cutoff)
+            # cutoff exists to prevent). With rounds_per_check > 1 several
+            # star rounds run between fingerprints, so the growth compounds:
+            # the margin scales as 2^rounds_per_check.
+            margin = 2 ** max(1, rounds_per_check)
+            fp2, max_deg = _fingerprint(
+                nbr, margin * fp[0] > skew_degree_cutoff
+            )
+            if stats is not None:
+                stats["rounds"] += max(1, rounds_per_check)
+                stats["final_edges"] = fp2[0]
             if fp2 == fp:
+                if stats is not None:
+                    stats["converged"] = True
                 break
             fp = fp2
     finally:

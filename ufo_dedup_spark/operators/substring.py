@@ -190,19 +190,28 @@ def substring_candidate_pairs(
     window: int = 137,
     all_pairs_cap: int = 64,
     barrier_level=None,
+    barrier=None,
 ) -> DataFrame:
     """Distinct candidate pairs sharing >= 1 winnowed fingerprint.
 
     ``barrier_level``: optional StorageLevel for the fingerprint barrier
     (the pipeline passes DISK_ONLY above its barrier_disk_threshold_rows —
-    the exploded fingerprint table is corpus-sized)."""
+    the exploded fingerprint table is corpus-sized). ``barrier``: optional
+    materialization function (df, name) -> df that takes precedence —
+    run_pipeline passes its parquet-split barrier for disk /
+    multi-executor runs."""
     winnow = make_winnow_udf(gram_chars=gram_chars, window=window)
     # materialized: pairs_within_groups scans the fingerprint table twice,
     # and the winnow UDF is the expensive part
     fps = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(winnow(F.col(text_col))).alias("fp"),
-    ).localCheckpoint(eager=True, storageLevel=barrier_level)
+    )
+    fps = (
+        barrier(fps, "winnow_fps")
+        if barrier is not None
+        else fps.localCheckpoint(eager=True, storageLevel=barrier_level)
+    )
     pairs = pairs_within_groups(fps, ["fp"], "_id", all_pairs_cap)
     return pairs.select("id_a", "id_b").distinct()
 

@@ -21,9 +21,14 @@ on by sources/writers.py run_stage when a workdir is supplied.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -62,7 +67,12 @@ PREFIX_MIN_CHARS = 20
 # mix old-rule and new-rule verified buckets in one output.
 #   2: _pk-based starts-with eligibility; candidates schema lost _pfx,
 #      doc_tokens schema gained _pk (round 5)
-PIPELINE_LOGIC_VERSION = 2
+#   3: starts-with pairs score EXACTLY 0.95 (reference dedup.py:108-117
+#      early-returns 0.95 before Jaccard; previously greatest(jaccard,
+#      0.95)) and the starts-with check is fused into the main verify
+#      join — pair membership identical, scores above 0.95 change
+#      (round 6)
+PIPELINE_LOGIC_VERSION = 3
 
 
 @dataclass
@@ -127,6 +137,31 @@ class PipelineConfig:
     barrier_storage: str = "auto"
     barrier_disk_threshold_rows: int = 1_500_000
 
+    # HOW disk-resident barriers are served. 'blocks' = DISK_ONLY
+    # localCheckpoint (serialized RDD blocks, fetched through the block
+    # manager); 'parquet' = write the barrier as parquet splits in a temp
+    # dir and read it back; 'auto' = parquet whenever the barriers go to
+    # disk OR the master is local-cluster, blocks otherwise. Rationale:
+    # RDD disk blocks live on the executor that computed them, so in
+    # multi-executor (local-cluster) runs every OTHER executor re-reads
+    # the corpus through one spindle + loopback block fetches (measured:
+    # 4M-doc docs_extract 33 -> 468 s going 1 -> 4 JVMs). Parquet splits
+    # are read per-executor with OS page-cache help, compress ~3-4x on
+    # text, and column-prune downstream — the same mechanism the
+    # checkpointed pipeline's stage writes always used.
+    barrier_format: str = "auto"
+
+    # Driver-round cap for the CHEAP pre-substring clustering only. That
+    # CC exists solely to prune already-connected substring candidates
+    # before the expensive LCS stage, and a capped (partially converged)
+    # run yields a FINER partition whose labels are still sound — equal
+    # labels imply genuinely connected — so capping can only prune less,
+    # never wrongly (see connected_components docstring). The FINAL
+    # clustering always runs to convergence. Star-shaped candidate
+    # families (pairs_within_groups emits stars over minima) converge in
+    # ~3 rounds; the cap only bites pathological long-diameter tails.
+    cheap_cc_max_iter: int = 8
+
     def __post_init__(self):
         assert self.bands * self.rows_per_band <= self.num_perm
         if (
@@ -146,6 +181,11 @@ class PipelineConfig:
                 f"barrier_storage must be 'auto', 'memory' or 'disk' "
                 f"(got {self.barrier_storage!r})"
             )
+        if self.barrier_format not in ("auto", "blocks", "parquet"):
+            raise ValueError(
+                f"barrier_format must be 'auto', 'blocks' or 'parquet' "
+                f"(got {self.barrier_format!r})"
+            )
         if self.prefix_key_chars != PREFIX_MIN_CHARS:
             raise ValueError(
                 f"prefix_key_chars must equal PREFIX_MIN_CHARS "
@@ -158,6 +198,33 @@ class PipelineConfig:
 
 METHOD_PRIORITY = {"exact": 1, "minhash_lsh": 2, "simhash": 3, "prefix": 4,
                    "substring": 5}
+
+
+def make_parquet_barrier(spark) -> Callable[[DataFrame, str], DataFrame]:
+    """Stage-barrier function that serves a DataFrame as parquet SPLITS.
+
+    Writes the frame to a fresh subdirectory of a per-call temp dir and
+    reads it back: the write is the eager materialization (same role as
+    ``localCheckpoint(eager=True)``) and the read-back is an ordinary
+    parquet scan, so every consumer — including executors in OTHER JVMs —
+    reads its own splits with OS page-cache help instead of fetching RDD
+    blocks from the one executor that computed them. The temp dir is
+    created lazily on first use and removed at interpreter exit (the
+    returned DataFrames reference the files for the session's lifetime,
+    so earlier cleanup would invalidate them).
+    """
+    state: dict = {"dir": None, "seq": 0}
+
+    def barrier(df: DataFrame, name: str = "stage") -> DataFrame:
+        if state["dir"] is None:
+            state["dir"] = tempfile.mkdtemp(prefix="ufo_dedup_barriers_")
+            atexit.register(shutil.rmtree, state["dir"], ignore_errors=True)
+        state["seq"] += 1
+        path = os.path.join(state["dir"], f"{state['seq']:02d}_{name}")
+        df.write.parquet(path)
+        return spark.read.parquet(path)
+
+    return barrier
 
 
 def prepare_documents(pages: DataFrame, use_extractor: bool = True) -> DataFrame:
@@ -205,9 +272,14 @@ def candidate_pairs(
     docs: DataFrame,
     cfg: PipelineConfig,
     barrier_level: StorageLevel | None = None,
+    barrier: Callable[[DataFrame, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Union of all candidate generators with method labels (priority order
-    resolves multi-method hits downstream)."""
+    resolves multi-method hits downstream).
+
+    ``barrier``: optional materialization function (run_pipeline passes
+    make_parquet_barrier for disk / multi-executor runs); when absent the
+    signatures barrier is a localCheckpoint at ``barrier_level``."""
     minhash = make_minhash_udf(cfg.num_perm, cfg.shingle_k, cfg.seed)
     simhash = make_simhash_udf(cfg.simhash_shingle_k, cfg.seed)
     # EAGER barrier: both LSH and SimHash branches consume the signatures
@@ -219,7 +291,12 @@ def candidate_pairs(
         "id",
         minhash(F.col("text")).alias("minhash"),
         simhash(F.col("text")).alias("simhash"),
-    ).localCheckpoint(eager=True, storageLevel=barrier_level)
+    )
+    signed = (
+        barrier(signed, "signatures")
+        if barrier is not None
+        else signed.localCheckpoint(eager=True, storageLevel=barrier_level)
+    )
 
     parts = [
         exact_dup_pairs(docs, "id", "text", cfg.all_pairs_cap)
@@ -282,9 +359,10 @@ def prepare_tokens(docs: DataFrame) -> DataFrame:
 
     Deliberately does NOT carry the lowered text: the verify join ships
     this table's payload through two exchanges per candidate pair, and the
-    only consumer of full text — the starts-with rule — runs as its own
-    narrow join over just the prefix-eligible pairs (derived from ``_pk``
-    equality in verify_candidate_pairs), not over every candidate."""
+    only consumer of full text — the starts-with rule — needs it ONLY for
+    docs in a multi-member prefix family, which verify_candidate_pairs
+    left-joins onto the sides from the (tiny) family table before the
+    candidate join."""
     # no array_sort: array_intersect is hash-set based, so ordering buys
     # nothing downstream and the per-doc O(n log n) comparator pass was
     # ~1/3 of this stage's JVM time; array_distinct alone is O(n)
@@ -314,10 +392,12 @@ def verify_candidate_pairs(
     prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Exact verification: token Jaccard for every candidate, plus the
-    reference's >=20-char starts-with rule at 0.95 — applied to EVERY
-    candidate pair whose texts share a 20-char prefix, whichever band
-    surfaced the pair (reference dedup.py:110-116 runs the shortcut inside
-    compute_similarity for every pair in every tier). Returns canonical
+    reference's >=20-char starts-with rule — applied to EVERY candidate
+    pair whose texts share a 20-char prefix, whichever band surfaced the
+    pair. A starts-with hit scores EXACTLY 0.95: reference dedup.py:108-117
+    early-returns 0.95 before computing Jaccard, so even byte-identical
+    >=20-char texts score 0.95, not 1.0 (pair membership is unaffected —
+    0.95 clears every threshold a higher Jaccard would). Returns canonical
     scored pairs.
 
     Cost discipline, per-pair: tokenization happens ONCE PER DOC, not once
@@ -327,32 +407,58 @@ def verify_candidate_pairs(
     per-pair string tokenization at 70k candidates). 64-bit token-hash
     collisions perturb Jaccard by < 1e-4 — far below the threshold.
 
-    Cost discipline, per-byte: full document text enters ONLY the narrow
-    starts-with join, and that join is STRUCTURALLY narrow: eligibility is
-    decided by an 8-byte prefix-key equi-check over the candidate list,
-    and the text sides are left-semi-pruned to the eligible pair family
-    before any text moves. The bound holds with AQE off — it does not rely
-    on the optimizer choosing to broadcast the pair side. The main
-    verification join moves token arrays and counts, nothing else.
-    Measured (scripts/verify_shuffle_bytes.py, forced-exchange plans,
-    identical outputs): 151.4 vs 164.7 MB of verify-phase shuffle writes
-    against the round-3 text-through-the-big-join shape — an 8% saving at
-    the synthetic corpus's doc-length profile, where the xxhash64 token
-    arrays weigh nearly as much as the text they displace. The win grows
-    with doc length (tokens dedup to distinct hashes, text does not); the
-    structural point is the BOUND — text bytes can no longer scale with
-    the candidate count, only with the starts-with-eligible family.
+    Cost discipline, per-byte: ONE join does everything. The starts-with
+    family — docs whose 20-char prefix key is shared by >= 2 docs — is
+    computed from an 8-byte groupBy over the token table, left-semi-prunes
+    the text table down to family members, and ONLY their lowered text is
+    left-joined onto the per-doc verification sides before the candidate
+    join. Eligibility per pair is then a prefix-key equi-check evaluated
+    INLINE (prefix-of implies equal first-20-chars, so _pk equality is a
+    necessary condition, and both endpoints of an eligible pair are family
+    members by construction — their texts are present). Text bytes through
+    the verify exchanges are therefore bounded by the FAMILY SIZE (each
+    family doc's text ships once per side), independent of the candidate
+    count, and the bound holds with AQE off — it does not rely on the
+    optimizer broadcasting anything. Versus the round-5 shape this deletes
+    two extra exchanges of the candidate table (the separate eligibility
+    joins), the distinct over family ids, and a full pair-keyed exchange
+    of the scored table (the pfx join-back).
     """
     if prepped is None:
         prepped = prepare_tokens(docs).localCheckpoint(eager=True)
 
-    a = prepped.select(
+    # starts-with family: prefix keys shared by >= 2 docs (8-byte groupBy,
+    # map-side combinable), then the family members' lowered texts. Tiny
+    # for web corpora, so the left joins below broadcast under AQE; with
+    # AQE off the exchange is still family-bounded.
+    fam_keys = (
+        prepped.filter(F.col("_pk").isNotNull())
+        .groupBy("_pk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_pk")
+    )
+    fam_ids = (
+        prepped.select("id", "_pk").join(fam_keys, "_pk", "left_semi")
+        .select("id")
+    )
+    fam_text = docs.join(fam_ids, "id", "left_semi").select(
+        "id", F.lower(F.trim(F.col("text"))).alias("_t")
+    )
+    # per-doc verification sides: token set + count + prefix key, and the
+    # lowered text ONLY for family members (NULL otherwise)
+    side = prepped.select("id", "_tok", "_n", "_pk").join(
+        fam_text, "id", "left"
+    )
+    a = side.select(
         F.col("id").alias("id_a"),
         F.col("_tok").alias("_tok_a"), F.col("_n").alias("_na"),
+        F.col("_pk").alias("_pka"), F.col("_t").alias("_ta"),
     )
-    b = prepped.select(
+    b = side.select(
         F.col("id").alias("id_b"),
         F.col("_tok").alias("_tok_b"), F.col("_n").alias("_nb"),
+        F.col("_pk").alias("_pkb"), F.col("_t").alias("_tb"),
     )
     j = cands.join(a, "id_a").join(b, "id_b")
 
@@ -361,65 +467,18 @@ def verify_candidate_pairs(
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )
-    scored = j.select("id_a", "id_b", jac.alias("score"), "method")
+    # eligible (non-NULL equal prefix keys) implies both texts are >=20
+    # chars AND family members, so _ta/_tb are non-NULL where it matters
+    elig = F.col("_pka").isNotNull() & (F.col("_pka") == F.col("_pkb"))
+    is_prefix = elig & (
+        F.col("_ta").startswith(F.col("_tb"))
+        | F.col("_tb").startswith(F.col("_ta"))
+    )
+    score = F.when(is_prefix, F.lit(0.95)).otherwise(jac)
 
-    # --- starts-with rule, structurally narrow ---
-    # 1) eligibility from the 8-byte prefix key: a >=20-char doc that is a
-    #    prefix of another implies both share the same first 20 lowered/
-    #    trimmed chars, so _pk equality is a necessary condition — and the
-    #    check joins only (id, _pk), never text.
-    pk = prepped.select("id", "_pk")
-    elig = (
-        cands.select("id_a", "id_b")
-        .join(pk.select(F.col("id").alias("id_a"), F.col("_pk").alias("_pka")),
-              "id_a")
-        .join(pk.select(F.col("id").alias("id_b"), F.col("_pk").alias("_pkb")),
-              "id_b")
-        .filter(F.col("_pka").isNotNull() & (F.col("_pka") == F.col("_pkb")))
-        .select("id_a", "id_b")
-    )
-    # 2) text moves only for the eligible family: semi-join docs down to
-    #    the ids appearing in an eligible pair, THEN join the texts. With
-    #    AQE off this is still a bounded exchange (family-sized); with AQE
-    #    on the tiny sides broadcast.
-    fam_ids = (
-        elig.select(F.col("id_a").alias("id"))
-        .unionByName(elig.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    fam = docs.join(fam_ids, "id", "left_semi").select(
-        "id", F.lower(F.trim(F.col("text"))).alias("_t")
-    )
-    # both endpoints carry a non-NULL _pk, so each text is >=20 chars by
-    # construction — no length re-check needed
-    is_prefix = F.col("_ta").startswith(F.col("_tb")) | F.col(
-        "_tb"
-    ).startswith(F.col("_ta"))
-    pfx = (
-        elig.join(
-            fam.select(F.col("id").alias("id_a"), F.col("_t").alias("_ta")),
-            "id_a",
-        )
-        .join(
-            fam.select(F.col("id").alias("id_b"), F.col("_t").alias("_tb")),
-            "id_b",
-        )
-        .select("id_a", "id_b", is_prefix.alias("_is_pfx"))
-    )
-    scored = (
-        scored.join(pfx, ["id_a", "id_b"], "left")
-        .withColumn(
-            "score",
-            F.when(
-                F.coalesce(F.col("_is_pfx"), F.lit(False)),
-                F.greatest(F.col("score"), F.lit(0.95)),
-            ).otherwise(F.col("score")),
-        )
-        .drop("_is_pfx")
-    )
-
-    scored = scored.select(
-        "id_a", "id_b", "score", "method", F.lit("pending").alias("status")
+    scored = j.select(
+        "id_a", "id_b", score.alias("score"), "method",
+        F.lit("pending").alias("status"),
     )
     return scored.filter(F.col("score") >= cfg.verify_threshold)
 
@@ -526,26 +585,46 @@ def run_pipeline(
             return False
         return None if n is None else n >= cfg.barrier_disk_threshold_rows
 
+    def _use_parquet(disk_flag: bool | None) -> bool:
+        if cfg.barrier_format == "parquet":
+            return True
+        if cfg.barrier_format == "blocks":
+            return False
+        # auto: parquet whenever the barriers would go to disk anyway, or
+        # the executors are separate JVMs (local-cluster) — RDD disk blocks
+        # are single-executor-resident and every other executor would fetch
+        # them through the block manager (see make_parquet_barrier)
+        master = spark.sparkContext.master or ""
+        return bool(disk_flag) or master.startswith("local-cluster")
+
     def _mark(key: str, t0: float) -> None:
         if timings is not None:
             timings[key] = round(time.time() - t0, 2)
 
     _t = time.time()
-    # EAGER stage barriers (localCheckpoint): every stage below fans out to
-    # multiple consumers that run concurrently inside one job — lazy persist
-    # would let each branch recompute the full upstream (measured 3x
-    # wall-clock at 20k docs). On a cluster these barriers are the
-    # per-stage checkpoint writes.
+    # EAGER stage barriers: every stage below fans out to multiple
+    # consumers that run concurrently inside one job — lazy persist would
+    # let each branch recompute the full upstream (measured 3x wall-clock
+    # at 20k docs). Small in-memory runs use localCheckpoint; disk /
+    # multi-executor runs serve barriers as parquet splits. On a real
+    # cluster these barriers are the per-stage checkpoint writes.
+    pq_barrier = make_parquet_barrier(spark)
     disk = _want_disk(n_docs_hint)
-    docs = prepare_documents(pages, use_extractor=use_extractor).localCheckpoint(
-        eager=True,
-        storageLevel=StorageLevel.DISK_ONLY if disk else None,
-    )
+    stage = prepare_documents(pages, use_extractor=use_extractor)
+    if _use_parquet(disk):
+        docs = pq_barrier(stage, "docs")
+    else:
+        docs = stage.localCheckpoint(
+            eager=True,
+            storageLevel=StorageLevel.DISK_ONLY if disk else None,
+        )
     if disk is None:
         # auto with no hint: one cheap count of the materialized barrier
         # decides storage for the remaining (larger) corpus-sized barriers
+        # (the docs barrier itself stays where it landed)
         disk = _want_disk(docs.count())
     barrier_level = StorageLevel.DISK_ONLY if disk else None
+    barrier = pq_barrier if _use_parquet(disk) else None
     _mark("docs_extract", _t)
 
     # The three doc-derived materializations — MinHash/SimHash signatures
@@ -576,13 +655,19 @@ def run_pipeline(
         f_cands = ex.submit(
             _in_pool,
             "signatures",
-            lambda: candidate_pairs(docs, cfg, barrier_level=barrier_level),
+            lambda: candidate_pairs(
+                docs, cfg, barrier_level=barrier_level, barrier=barrier
+            ),
         )
         f_tokens = ex.submit(
             _in_pool,
             "tokens",
-            lambda: prepare_tokens(docs).localCheckpoint(
-                eager=True, storageLevel=barrier_level
+            lambda: (
+                barrier(prepare_tokens(docs), "doc_tokens")
+                if barrier is not None
+                else prepare_tokens(docs).localCheckpoint(
+                    eager=True, storageLevel=barrier_level
+                )
             ),
         )
         f_subc = (
@@ -592,7 +677,7 @@ def run_pipeline(
                 lambda: substring_candidate_pairs(
                     docs, "id", "text", cfg.substring_gram,
                     cfg.substring_window, cfg.all_pairs_cap,
-                    barrier_level=barrier_level,
+                    barrier_level=barrier_level, barrier=barrier,
                 ),
             )
             if cfg.substring_enabled
@@ -614,14 +699,23 @@ def run_pipeline(
     all_pairs = verified
     if cfg.substring_enabled:
         # cluster the cheap edges first so the expensive substring stage can
-        # skip intra-cluster candidates
+        # skip intra-cluster candidates. Capped at cheap_cc_max_iter: a
+        # partially converged clustering is a FINER sound partition (equal
+        # labels still imply connected), so the exclusion prunes less but
+        # never wrongly — and this CC's only job is pruning.
         _t = time.time()
+        cc_stats: dict = {}
         cheap_cc = connected_components(
             verified.filter(F.col("score") >= cfg.cluster_threshold).select(
                 "id_a", "id_b"
-            )
+            ),
+            max_iter=cfg.cheap_cc_max_iter,
+            stats=cc_stats,
         ).localCheckpoint(eager=True)
         _mark("cheap_cc", _t)
+        if timings is not None:
+            timings["cheap_cc_rounds"] = cc_stats.get("rounds", 0)
+            timings["cheap_cc_entry_edges"] = cc_stats.get("entry_edges", 0)
         all_pairs = all_pairs.unionByName(
             substring_pairs(
                 docs, cfg, exclude=verified, exclude_clusters=cheap_cc,
@@ -647,8 +741,13 @@ def run_pipeline(
         (F.col("score") >= cfg.cluster_threshold)
         | (F.col("method") == "substring")
     )
-    cc = connected_components(edges.select("id_a", "id_b"))
+    final_cc_stats: dict = {}
+    cc = connected_components(
+        edges.select("id_a", "id_b"), stats=final_cc_stats
+    )
     _mark("substring_pairs_and_cc_rounds", _t)
+    if timings is not None:
+        timings["final_cc_rounds"] = final_cc_stats.get("rounds", 0)
     clusters = (
         docs.select("id", "url")
         .join(cc, on="id", how="left")
@@ -717,10 +816,13 @@ def run_pipeline_checkpointed(
     if cfg.substring_enabled:
         cheap_cc = mgr.stage(
             "cheap_clusters",
+            # capped like run_pipeline's cheap_cc: a partially converged
+            # partition is finer but sound, so it only prunes less
             lambda: connected_components(
                 verified.filter(F.col("score") >= cfg.cluster_threshold).select(
                     "id_a", "id_b"
-                )
+                ),
+                max_iter=cfg.cheap_cc_max_iter,
             ),
         )
         sub = mgr.stage(

@@ -1442,7 +1442,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(signed, "id", "minhash", 42, 3, 64)
 
 
-@register("simhash_fingerprints")  # no oracle: blake2b bit votes
+@register("simhash_fingerprints")  # no oracle: splitmix64 bit votes are not
+# SQL-expressible; exact values pinned by tests/test_hashing.py, and the
+# SQL-expressible part of the contract is oracled by simhash_null_contract
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document."""
     from ufo_dedup_spark.functions.hashing import make_simhash_udf
@@ -1450,6 +1452,44 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     simhash = make_simhash_udf(shingle_k=2, seed=42)
     return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "simhash_null_contract",
+    # the SQL-expressible invariant of the SimHash surface: a fingerprint
+    # is NULL exactly for documents with no whitespace-delimited tokens
+    # (NULL / empty / whitespace-only text) and non-NULL otherwise. The
+    # bit-vote VALUES are pinned by tests/test_hashing.py; this row makes
+    # the null-contract half driver-visible against a DuckDB oracle.
+    r"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL
+                          OR regexp_replace(text, '\s+', '', 'g') = ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_fp,
+           CAST(SUM(CASE WHEN text IS NOT NULL
+                          AND regexp_replace(text, '\s+', '', 'g') <> ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nonnull_fp
+    FROM documents
+    """,
+)
+def simhash_null_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: doc count, NULL-fingerprint count, non-NULL count —
+    computed from the ACTUAL SimHash output, so a kernel change that
+    breaks the tokenless->NULL rule fails this row against the oracle."""
+    from ufo_dedup_spark.functions.hashing import make_simhash_udf
+
+    d = _read(spark, sf_dir, "documents")
+    simhash = make_simhash_udf(shingle_k=2, seed=42)
+    fp = d.select(simhash(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fp").isNull(), 1).otherwise(0)).cast("long").alias(
+            "null_fp"
+        ),
+        F.sum(F.when(F.col("fp").isNotNull(), 1).otherwise(0)).cast("long").alias(
+            "nonnull_fp"
+        ),
+    )
 
 
 @register(
@@ -1561,8 +1601,15 @@ def ann_probed_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probed_pairs",
             "full_pairs",
+            # zero guard: under ANSI mode an empty/tiny embeddings table
+            # (zero full-probe pairs) must degrade to a NULL recall, not
+            # raise DIVIDE_BY_ZERO
             F.round(
-                F.col("probed_pairs") / F.col("full_pairs"), 4
+                F.when(
+                    F.col("full_pairs") > 0,
+                    F.col("probed_pairs") / F.col("full_pairs"),
+                ),
+                4,
             ).alias("recall"),
         )
     )

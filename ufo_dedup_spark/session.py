@@ -25,13 +25,28 @@ def _package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "ufo_dedup_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+    # write-to-unique-temp + atomic rename: two sessions building
+    # concurrently on one host (parallel pytest workers, two drivers) must
+    # never observe a half-written zip at the shared final path. os.replace
+    # is atomic within a filesystem, so readers see either the old complete
+    # zip or the new complete zip.
+    fd, tmp = tempfile.mkstemp(
+        suffix=".zip", prefix="ufo_dedup_spark_pyfiles_",
+        dir=tempfile.gettempdir(),
+    )
+    try:
+        with os.fdopen(fd, "wb") as fobj, zipfile.ZipFile(fobj, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, out)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return out
 
 
