@@ -80,7 +80,18 @@ def main():
         for name in leg_names:
             master, _cores = ALL_LEGS[name]
             t0 = time.time()
-            r = run_level(master, rows, sp)
+            try:
+                r = run_level(master, rows, sp)
+            except Exception as e:  # noqa: BLE001 — record and keep going
+                state.setdefault("failures", []).append({
+                    "leg": name, "cycle": cycle, "error": str(e),
+                    "utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                })
+                flush()
+                sys.stderr.write(f"cycle {cycle} {name}: FAILED ({e}); "
+                                 "continuing with remaining legs\n")
+                continue
             r["leg_wall_sec"] = round(time.time() - t0, 1)
             r["cycle"] = cycle
             r["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

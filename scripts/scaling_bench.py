@@ -42,12 +42,23 @@ def run_level(master: str, rows: int, shuffle_partitions: int | None = None) -> 
         env=env,
     )
     if out.returncode != 0:
+        # keep the FULL stderr: the 30-line tail once hid a root cause
+        # behind the shutdown-hook noise that follows any driver abort
+        import time as _time
+        dump = os.path.join(
+            "/tmp", f"leg_fail_{master.replace('[','_').replace(']','')}"
+            f"_{int(_time.time())}.log")
+        with open(dump, "w") as f:
+            f.write(out.stderr)
+            f.write("\n--- stdout ---\n")
+            f.write(out.stdout)
         sys.stderr.write(
-            f"--- {master} leg failed (rc={out.returncode}); stderr tail ---\n"
+            f"--- {master} leg failed (rc={out.returncode}); full stderr at "
+            f"{dump}; tail ---\n"
             + "\n".join(out.stderr.splitlines()[-30:])
             + "\n"
         )
-        raise SystemExit(1)
+        raise RuntimeError(f"{master} leg failed; see {dump}")
     last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(last)
 
