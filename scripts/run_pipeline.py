@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--master", default=None)
     ap.add_argument("--json", action="store_true",
                     help="print one JSON line (skip recall computation)")
+    ap.add_argument("--barrier-format", default=None,
+                    choices=["auto", "blocks", "parquet"],
+                    help="override PipelineConfig.barrier_format for "
+                         "barrier-implementation A/Bs (default: config "
+                         "default, i.e. 'auto')")
     args = ap.parse_args()
 
     spark = build_session(app_name="run-pipeline", master=args.master)
@@ -40,7 +45,8 @@ def main():
     # re-reads the corpus through loopback block fetches (the r5 4-JVM
     # docs_extract collapse, 33 -> 468 s). Parquet splits compress ~3-4x
     # and read per-executor with OS page-cache help.
-    cfg = PipelineConfig()
+    cfg = (PipelineConfig(barrier_format=args.barrier_format)
+           if args.barrier_format else PipelineConfig())
     lc = (args.master or "").startswith("local-cluster")
     if args.rows >= cfg.barrier_disk_threshold_rows or lc:
         import atexit
