@@ -137,18 +137,23 @@ class PipelineConfig:
     barrier_storage: str = "auto"
     barrier_disk_threshold_rows: int = 1_500_000
 
-    # HOW disk-resident barriers are served. 'blocks' = DISK_ONLY
-    # localCheckpoint (serialized RDD blocks, fetched through the block
-    # manager); 'parquet' = write the barrier as parquet splits in a temp
-    # dir and read it back; 'auto' = parquet whenever the barriers go to
-    # disk OR the master is local-cluster, blocks otherwise. Rationale:
-    # RDD disk blocks live on the executor that computed them, so in
-    # multi-executor (local-cluster) runs every OTHER executor re-reads
-    # the corpus through one spindle + loopback block fetches (measured:
-    # 4M-doc docs_extract 33 -> 468 s going 1 -> 4 JVMs). Parquet splits
-    # are read per-executor with OS page-cache help, compress ~3-4x on
-    # text, and column-prune downstream — the same mechanism the
-    # checkpointed pipeline's stage writes always used.
+    # HOW stage barriers are served. 'blocks' = localCheckpoint (RDD
+    # blocks, DISK_ONLY above the row threshold, fetched through the
+    # block manager); 'parquet' = write the barrier as parquet splits in
+    # a temp dir and read it back; 'auto' = parquet ONLY when executors
+    # are separate JVMs (local-cluster / a real cluster master), blocks
+    # otherwise — including single-JVM disk barriers. Rationale, both
+    # directions measured at 4M docs: RDD disk blocks live on the
+    # executor that computed them, so in multi-executor runs every OTHER
+    # executor re-reads the corpus through one spindle + loopback block
+    # fetches (docs_extract 33 -> 468 s going 1 -> 4 JVMs; parquet splits
+    # read per-executor with OS page-cache help cut it to 91 s and lifted
+    # 1->4-JVM efficiency 0.303 -> 0.39, SCALING_r06). But in a SINGLE
+    # JVM the block manager is a local read and parquet only adds
+    # encode/decode plus split-bound read parallelism: serving the same
+    # 4M-doc barriers as parquet cost ~1.8x whole-run wall vs DISK_ONLY
+    # blocks at local[32] (1299 vs ~709 s; signatures branch 603 vs
+    # ~220 s), so disk storage alone must NOT trigger parquet.
     barrier_format: str = "auto"
 
     # Driver-round cap for the CHEAP pre-substring clustering only. That
@@ -590,12 +595,20 @@ def run_pipeline(
             return True
         if cfg.barrier_format == "blocks":
             return False
-        # auto: parquet whenever the barriers would go to disk anyway, or
-        # the executors are separate JVMs (local-cluster) — RDD disk blocks
-        # are single-executor-resident and every other executor would fetch
-        # them through the block manager (see make_parquet_barrier)
+        # auto: parquet ONLY when executors are separate JVMs — RDD disk
+        # blocks are single-executor-resident and every other executor
+        # would fetch them through the block manager (see
+        # make_parquet_barrier). In a single JVM (local[K]) the block
+        # manager read is local and parquet measurably loses (4M local[32]
+        # wall ~1.8x, see PipelineConfig.barrier_format), so disk storage
+        # alone does not trigger parquet.
+        del disk_flag  # storage level no longer affects the format choice
         master = spark.sparkContext.master or ""
-        return bool(disk_flag) or master.startswith("local-cluster")
+        single_jvm = master == "local" or (
+            master.startswith("local[") and not
+            master.startswith("local-cluster")
+        )
+        return not single_jvm
 
     def _mark(key: str, t0: float) -> None:
         if timings is not None:
