@@ -82,6 +82,34 @@ def test_date10_col(spark):
     assert got == ["2005-06-15", "1985-07", "1957", None]
 
 
+def test_lang_id_col(spark):
+    from ufo_dedup_spark.functions import text as TX
+
+    cases = [
+        # clear single-language hits
+        "the cat and the dog went to the park, it was sunny",   # en
+        "der Hund und die Katze, das ist nicht ein Problem",    # de
+        "el perro y los gatos, pero una cosa es muy rara",      # es
+        "le chat est dans les arbres pour une heure sur place", # fr
+        # no marker of any language -> 'und'
+        "zzz qqq xxx 12345",
+        "",
+        None,
+        # tie between en and fr ('est' fr x1 vs 'the' en x1) -> en wins
+        # (CASE chain order: de >= all, then en >= es/fr, duplicates kept)
+        "the est",
+        # de/en tie -> de (alphabetically-first branch checked first)
+        "der the",
+    ]
+    got = _one_col_results(spark, cases, TX.lang_id_col)
+    assert got == ["en", "de", "es", "fr", "und", "und", "und", "en", "de"]
+    # marker counting keeps duplicates: 'the' x3 beats 'le'+'les' = 2 fr
+    dup = _one_col_results(
+        spark, ["the the the le les"], TX.lang_id_col
+    )
+    assert dup == ["en"]
+
+
 PAIR_CASES = [
     # (desc_a, desc_b, src_a, src_b)
     ("bright light in the sky", "bright light over the ground", 1, 2),

@@ -83,6 +83,58 @@ def avg_token_len_col(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# Marker-token language-ID profiles (Cavnar-Trenkle-style n-gram LID
+# reduced to its token-unigram core): a frozen set of high-frequency
+# function words per language, mirrored verbatim in the oracle SQL.
+# Deterministic by construction — no model weights, no environment libs.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit",
+           "von", "zu"],
+    "en": ["the", "and", "of", "to", "is", "that", "it", "was", "for",
+           "with"],
+    "es": ["el", "los", "las", "una", "como", "pero", "por", "ser",
+           "dos", "muy"],
+    "fr": ["le", "les", "est", "dans", "que", "pour", "une", "des",
+           "sur", "pas"],
+}
+
+
+def lang_marker_count_col(text: Column, lang: str) -> Column:
+    """Number of tokens (duplicates kept) that hit ``lang``'s marker set.
+
+    Coalesced to 0 for NULL text so NULL classifies as 'und' rather than
+    falling through every NULL CASE condition to the last branch.
+    """
+    markers = LANG_MARKERS[lang]
+    return F.coalesce(
+        F.size(F.filter(tokens_col(text), lambda t: t.isin(markers))),
+        F.lit(0),
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language code from marker-token counts.
+
+    'und' when no marker of any language occurs; ties break toward the
+    alphabetically-first language code (de < en < es < fr) — the CASE
+    chain below is mirrored exactly in the oracle SQL.
+    """
+    c = {lang: lang_marker_count_col(text, lang) for lang in LANG_MARKERS}
+    return (
+        F.when(
+            (c["de"] == 0) & (c["en"] == 0) & (c["es"] == 0) & (c["fr"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (c["de"] >= c["en"]) & (c["de"] >= c["es"]) & (c["de"] >= c["fr"]),
+            F.lit("de"),
+        )
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["fr"]), F.lit("en"))
+        .when(c["es"] >= c["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def quality_score_col(text: Column) -> Column:
     """Heuristic [0,1] quality score: length factor x lexical diversity.
 

@@ -622,6 +622,59 @@ def lang_block_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_MARKER_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
+    "en": "['the','and','of','to','is','that','it','was','for','with']",
+    "es": "['el','los','las','una','como','pero','por','ser','dos','muy']",
+    "fr": "['le','les','est','dans','que','pour','une','des','sur','pas']",
+}
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH c AS (
+        SELECT lang,
+               coalesce(len(list_filter({_TOKS},
+                   t -> list_contains({_LANG_MARKER_SQL['de']}, t))), 0) AS c_de,
+               coalesce(len(list_filter({_TOKS},
+                   t -> list_contains({_LANG_MARKER_SQL['en']}, t))), 0) AS c_en,
+               coalesce(len(list_filter({_TOKS},
+                   t -> list_contains({_LANG_MARKER_SQL['es']}, t))), 0) AS c_es,
+               coalesce(len(list_filter({_TOKS},
+                   t -> list_contains({_LANG_MARKER_SQL['fr']}, t))), 0) AS c_fr
+        FROM documents
+    )
+    SELECT lang AS labeled_lang,
+           CASE
+               WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0
+                   THEN 'und'
+               WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+               WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+               WHEN c_es >= c_fr THEN 'es'
+               ELSE 'fr'
+           END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM c GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token heuristic (n-gram LID reduced to its
+    token-unigram core), reported as a labeled-vs-predicted confusion
+    matrix. Pure codegen — F.filter/isin counts and a CASE chain, no
+    Python in the hot path; scales as one projection + one small groupBy.
+    """
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            TX.lang_id_col(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
