@@ -110,6 +110,29 @@ def test_lang_id_col(spark):
     assert dup == ["en"]
 
 
+def test_shingles_col(spark):
+    from ufo_dedup_spark.functions import text as TX
+
+    cases = [
+        "a b c d",            # 2 trigrams: "a b c", "b c d"
+        "a b c a b c a b c",  # duplicates collapse: {"a b c","b c a","c a b"}
+        "a b",                # < k tokens -> empty (NOT a descending sequence)
+        "",                   # empty -> empty
+        None,                 # NULL -> empty
+        "Hello, WORLD foo",   # tokenizer is lowercase-ASCII: 1 trigram
+    ]
+    got = _one_col_results(spark, cases, TX.shingles_col)
+    sizes = [len(s) if s is not None else None for s in got]
+    assert sizes == [2, 3, 0, 0, 0, 1]
+    # hashed-shingle sets must be order/dup-insensitive: same distinct
+    # trigram set -> identical sorted hash arrays
+    same = _one_col_results(
+        spark, ["x y z x y z", "x y z"], TX.shingles_col
+    )
+    assert set(same[1]) <= set(same[0]) and len(same[0]) == 3
+    assert same[0] == sorted(same[0])
+
+
 PAIR_CASES = [
     # (desc_a, desc_b, src_a, src_b)
     ("bright light in the sky", "bright light over the ground", 1, 2),

@@ -135,6 +135,30 @@ def lang_id_col(text: Column) -> Column:
     )
 
 
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word ``k``-gram shingles, hashed to 64-bit longs.
+
+    Empty array for docs with fewer than ``k`` tokens (the WHEN guard is
+    load-bearing: an unguarded ``sequence(1, n-k+1)`` DESCENDS for short
+    docs). Hashing shingles to longs makes downstream ``array_intersect``
+    far cheaper than on strings; Jaccard values are identical to a
+    string-shingle oracle modulo 64-bit collisions (~1e-16 per pair).
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            )
+        ),
+    )
+    return F.when(n >= k, F.array_sort(F.array_distinct(grams))).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    )
+
+
 def quality_score_col(text: Column) -> Column:
     """Heuristic [0,1] quality score: length factor x lexical diversity.
 

@@ -675,6 +675,107 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang,
+               CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+               {_TOKS} AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, lang, len_bucket,
+               list_distinct(list_transform(
+                   range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+               )) AS sh
+        FROM toks
+    ),
+    admitted AS (
+        SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket
+        FROM documents
+        GROUP BY 1, 2
+        HAVING COUNT(*) <= 200 AND COUNT(DISTINCT source) >= 2
+    ),
+    scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+               ROUND(
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 6) AS trigram_jaccard
+        FROM sh a
+        JOIN sh b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id AND a.source <> b.source
+        JOIN admitted ad
+          ON a.lang = ad.lang AND a.len_bucket = ad.len_bucket
+        WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+    )
+    SELECT * FROM scored WHERE trigram_jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (trigram-shingle) Jaccard near-dup pairs — the exact
+    member of the dedup family next to MinHash-LSH (its approximation),
+    SimHash, exact-hash, and embedding-cosine. Same blocking + admission
+    machinery as doc_blocking_pairs (operators/blocking.admitted_blocks:
+    the plan that survives 100x growth), score = Jaccard over DISTINCT
+    word trigrams hashed to longs (string-shingle oracle matches modulo
+    ~1e-16 collisions). Threshold compares the ROUNDED score on both
+    sides so boundary values cannot diverge.
+    """
+    from ufo_dedup_spark.operators.blocking import admitted_blocks
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("int").alias("len_bucket"),
+        TX.shingles_col(F.col("text")).alias("sh"),
+    )
+    adm = admitted_blocks(
+        d,
+        ["lang", "len_bucket"],
+        max_rows=_BLOCK_MAX_ROWS,
+        min_distinct=("source", _BLOCK_MIN_SOURCES),
+    )
+    d = d.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        "lang",
+        "len_bucket",
+        F.col("sh").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        "lang",
+        "len_bucket",
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    score = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, on=["lang", "len_bucket"], how="inner")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("source_a") != F.col("source_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "lang",
+            F.round(score, 6).alias("trigram_jaccard"),
+        )
+        .filter(F.col("trigram_jaccard") >= 0.2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
