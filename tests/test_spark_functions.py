@@ -110,6 +110,32 @@ def test_lang_id_col(spark):
     assert dup == ["en"]
 
 
+def test_bpe_token_count_col(spark):
+    import re as _re
+
+    from ufo_dedup_spark.functions import text as TX
+
+    cases = [
+        "it's the 1980's!! don't stop...",
+        "hello world",
+        "a1b2c3",
+        "  leading spaces   and   runs  ",
+        "!!!???...",
+        "we'll we've we're i'm he'd can't",
+        "mixed CASE and Punct-uation; 42,000 items",
+        "",
+        None,
+    ]
+    got = _one_col_results(spark, cases, TX.bpe_token_count_col)
+    # third-engine pin: Python re (leftmost-first, like Java and RE2)
+    pat = _re.compile(TX.BPE_TOKEN_RE)
+    expected = [
+        len(pat.findall(c.lower())) if c is not None else 0 for c in cases
+    ]
+    assert got == expected
+    assert expected[0] == 10  # it|'s| the| 1980|'s|!!| don|'t| stop|...
+
+
 def test_shingles_col(spark):
     from ufo_dedup_spark.functions import text as TX
 

@@ -135,6 +135,23 @@ def lang_id_col(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-style segmentation reduced to its
+# ASCII core): English contraction suffixes, then optional-space letter
+# runs, digit runs, and punctuation runs. Leftmost-first alternation only
+# (no lookarounds), so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization segments over lowercased text."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Segment count under the BPE-ish pre-tokenizer; 0 for NULL text."""
+    return F.coalesce(F.size(bpe_tokens_col(text)), F.lit(0))
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct word ``k``-gram shingles, hashed to 64-bit longs.
 

@@ -990,6 +990,42 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# single source of truth for the BPE-ish pre-tokenizer pattern: the oracle
+# SQL embeds the SAME regex the engine compiles (SQL-quoted), so Java-regex
+# (Spark) vs RE2 (DuckDB) agreement is checked on the full corpus per round.
+_BPE_SQL_RE = TX.BPE_TOKEN_RE.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(coalesce(
+               len(regexp_extract_all(lower(text), '{_BPE_SQL_RE}')), 0
+           )) AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(coalesce(
+               len(regexp_extract_all(lower(text), '{_BPE_SQL_RE}')), 0
+           )), 6) AS avg_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex (GPT-2-style
+    segmentation reduced to its ASCII core: contraction suffixes, letter
+    runs, digit runs, punctuation runs) — the second half of the
+    whitespace + BPE-ish token-accounting pair. Pure codegen
+    (regexp_extract_all); the oracle embeds the identical pattern.
+    """
+    d = _read(spark, sf_dir, "documents")
+    n = TX.bpe_token_count_col(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL surface: source date parsers (F6), data-fix battery (F5), cleanup (F9)
 # ---------------------------------------------------------------------------
