@@ -727,20 +727,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ufo_dedup_spark.operators.blocking import admitted_blocks
 
-    d = _read(spark, sf_dir, "documents").select(
+    # admission BEFORE the shingle projection: rejected (skewed/singleton)
+    # blocks never pay the per-doc shingle compute — Catalyst does not
+    # reorder compute-bearing projections around joins on its own.
+    d0 = _read(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "lang",
         F.floor(F.col("n_chars") / F.lit(100.0)).cast("int").alias("len_bucket"),
-        TX.shingles_col(F.col("text")).alias("sh"),
+        "text",
     )
     adm = admitted_blocks(
-        d,
+        d0,
         ["lang", "len_bucket"],
         max_rows=_BLOCK_MAX_ROWS,
         min_distinct=("source", _BLOCK_MIN_SOURCES),
     )
-    d = d.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi")
+    d = d0.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi").select(
+        "doc_id",
+        "source",
+        "lang",
+        "len_bucket",
+        TX.shingles_col(F.col("text")).alias("sh"),
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("source").alias("source_a"),
