@@ -136,6 +136,28 @@ def test_bpe_token_count_col(spark):
     assert expected[0] == 10  # it|'s| the| 1980|'s|!!| don|'t| stop|...
 
 
+def test_ngram_pairs_plan_is_blocked_join(spark):
+    """Scale contract: the n-gram pair generator must join on the blocking
+    key — no cartesian / nested-loop — and apply admission as a broadcast
+    semi-join before the shingle projection."""
+    import os
+
+    from ufo_dedup_spark.queries import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata absent")
+    plan = (
+        ngram_jaccard_pairs(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
 def test_shingles_col(spark):
     from ufo_dedup_spark.functions import text as TX
 
