@@ -100,9 +100,15 @@ def test_lang_id_col(spark):
         "the est",
         # de/en tie -> de (alphabetically-first branch checked first)
         "der the",
+        # CJK ideographs act as zh markers (ASCII tokens see nothing)
+        "今天天气很好",
+        # CJK must OUTNUMBER latin markers: 1 CJK char vs 2 'the' -> en
+        "the 今 the",
     ]
     got = _one_col_results(spark, cases, TX.lang_id_col)
-    assert got == ["en", "de", "es", "fr", "und", "und", "und", "en", "de"]
+    assert got == [
+        "en", "de", "es", "fr", "und", "und", "und", "en", "de", "zh", "en",
+    ]
     # marker counting keeps duplicates: 'the' x3 beats 'le'+'les' = 2 fr
     dup = _one_col_results(
         spark, ["the the the le les"], TX.lang_id_col

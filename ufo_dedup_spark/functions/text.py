@@ -112,18 +112,40 @@ def lang_marker_count_col(text: Column, lang: str) -> Column:
     )
 
 
-def lang_id_col(text: Column) -> Column:
-    """Predicted language code from marker-token counts.
+# CJK Unified Ideographs block. The \\x{hhhh} escape is supported by BOTH
+# Java regex (Spark) and RE2 (the DuckDB oracle), so the same pattern
+# string runs on both engines.
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
 
-    'und' when no marker of any language occurs; ties break toward the
-    alphabetically-first language code (de < en < es < fr) — the CASE
-    chain below is mirrored exactly in the oracle SQL.
+
+def cjk_char_count_col(text: Column) -> Column:
+    """Count of CJK-ideograph characters; 0 for NULL text."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(CJK_RE)), F.lit(0)
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language code from marker counts.
+
+    CJK ideographs act as zh's marker set (an ASCII tokenizer sees no
+    function words in Chinese text); 'zh' wins when CJK chars outnumber
+    every Latin marker count. 'und' when no marker of any language
+    occurs; Latin ties break toward the alphabetically-first language
+    code (de < en < es < fr) — the CASE chain below is mirrored exactly
+    in the oracle SQL.
     """
     c = {lang: lang_marker_count_col(text, lang) for lang in LANG_MARKERS}
+    zh = cjk_char_count_col(text)
     return (
         F.when(
-            (c["de"] == 0) & (c["en"] == 0) & (c["es"] == 0) & (c["fr"] == 0),
+            (zh == 0)
+            & (c["de"] == 0) & (c["en"] == 0) & (c["es"] == 0) & (c["fr"] == 0),
             F.lit("und"),
+        )
+        .when(
+            (zh > c["de"]) & (zh > c["en"]) & (zh > c["es"]) & (zh > c["fr"]),
+            F.lit("zh"),
         )
         .when(
             (c["de"] >= c["en"]) & (c["de"] >= c["es"]) & (c["de"] >= c["fr"]),

@@ -642,13 +642,17 @@ _LANG_MARKER_SQL = {
                coalesce(len(list_filter({_TOKS},
                    t -> list_contains({_LANG_MARKER_SQL['es']}, t))), 0) AS c_es,
                coalesce(len(list_filter({_TOKS},
-                   t -> list_contains({_LANG_MARKER_SQL['fr']}, t))), 0) AS c_fr
+                   t -> list_contains({_LANG_MARKER_SQL['fr']}, t))), 0) AS c_fr,
+               coalesce(len(regexp_extract_all(
+                   text, '[\\x{{4e00}}-\\x{{9fff}}]')), 0) AS c_zh
         FROM documents
     )
     SELECT lang AS labeled_lang,
            CASE
-               WHEN c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0
-                   THEN 'und'
+               WHEN c_zh = 0 AND c_de = 0 AND c_en = 0 AND c_es = 0
+                    AND c_fr = 0 THEN 'und'
+               WHEN c_zh > c_de AND c_zh > c_en AND c_zh > c_es
+                    AND c_zh > c_fr THEN 'zh'
                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
                WHEN c_es >= c_fr THEN 'es'
