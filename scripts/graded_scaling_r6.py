@@ -43,6 +43,48 @@ ALL_LEGS = {
 }
 
 
+def summarize(state: dict) -> None:
+    """(Re)compute the derived summary fields of a campaign state dict in
+    place: output-identity assertion, min-of-reps per leg, efficiencies,
+    throughputs. Idempotent — rerun_leg.py calls this after appending an
+    extra rep to a finished campaign file."""
+    rows = state["rows"]
+    outs = {
+        (r["pairs"], r["multi_clusters"])
+        for runs in state["runs"].values()
+        for r in runs
+    }
+    state["outputs_identical"] = len(outs) == 1
+    state["output"] = sorted(outs)[0] if len(outs) == 1 else sorted(outs)
+
+    best = {
+        k: min(r["elapsed_sec"] for r in v)
+        for k, v in state["runs"].items() if v
+    }
+    state["best_elapsed_sec"] = best
+    state["all_elapsed_sec"] = {
+        k: [r["elapsed_sec"] for r in v] for k, v in state["runs"].items()
+    }
+
+    def eff(lo: str, hi: str, ratio: float):
+        if lo in best and hi in best:
+            return round(best[lo] / best[hi] / ratio, 3)
+        return None
+
+    state["efficiency"] = {
+        "n_to_2n_local_8_16": eff("local8", "local16", 2),
+        "two_n_to_4n_local_16_32": eff("local16", "local32", 2),
+        "n_to_4n_local_8_32": eff("local8", "local32", 4),
+        "n_to_4n_local_4_16": eff("local4", "local16", 4),
+        "multi_executor_1_to_4": eff("lc1x8", "lc4x8", 4),
+        "multi_executor_1x4_to_4x4": eff("lc1x4", "lc4x4", 4),
+    }
+    state["throughput_docs_per_sec"] = {
+        k: round(rows / best[k], 1) for k in best
+    }
+    state["finished_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
 def main():
     rows = int(os.environ.get("GS_ROWS", "4000000"))
     reps = int(os.environ.get("GS_REPS", "2"))
@@ -109,41 +151,7 @@ def main():
             sys.stderr.write(f"cycle {cycle} {name}: {r['elapsed_sec']}s "
                              f"pairs={r['pairs']}\n")
 
-    # ---- summary ----
-    outs = {
-        (r["pairs"], r["multi_clusters"])
-        for runs in state["runs"].values()
-        for r in runs
-    }
-    state["outputs_identical"] = len(outs) == 1
-    state["output"] = sorted(outs)[0] if len(outs) == 1 else sorted(outs)
-
-    best = {
-        k: min(r["elapsed_sec"] for r in v)
-        for k, v in state["runs"].items() if v
-    }
-    state["best_elapsed_sec"] = best
-    state["all_elapsed_sec"] = {
-        k: [r["elapsed_sec"] for r in v] for k, v in state["runs"].items()
-    }
-
-    def eff(lo: str, hi: str, ratio: float):
-        if lo in best and hi in best:
-            return round(best[lo] / best[hi] / ratio, 3)
-        return None
-
-    state["efficiency"] = {
-        "n_to_2n_local_8_16": eff("local8", "local16", 2),
-        "two_n_to_4n_local_16_32": eff("local16", "local32", 2),
-        "n_to_4n_local_8_32": eff("local8", "local32", 4),
-        "n_to_4n_local_4_16": eff("local4", "local16", 4),
-        "multi_executor_1_to_4": eff("lc1x8", "lc4x8", 4),
-        "multi_executor_1x4_to_4x4": eff("lc1x4", "lc4x4", 4),
-    }
-    state["throughput_docs_per_sec"] = {
-        k: round(rows / best[k], 1) for k in best
-    }
-    state["finished_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    summarize(state)
     flush()
     print(json.dumps({
         "best": best,
