@@ -79,3 +79,40 @@ def test_ann_probed_recall_floor_second_seed(spark):
     assert probed_set <= full_set  # precision 1.0 by containment
     assert full_set, "full-probe pair set empty at sf0.001"
     assert len(probed_set) / len(full_set) >= 0.8
+
+
+def test_minhash_sig_contract_on_crafted_docs(spark, tmp_path):
+    """The contract row's plumbing on crafted inputs: whitespace-variant
+    duplicates collapse to ONE normalized group and share a signature
+    (inconsistent_groups==0 is a real check, not vacuous), tokenless docs
+    are the NULL-signature population, and every non-NULL signature has
+    128 in-range elements."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick  brown\tfox jumps\nover the lazy dog ", "en", "a"),
+        (3, None, "en", "b"),
+        (4, "   \t\n  ", "en", "b"),
+        (5, "a completely different document body here", "en", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    import __spark_entry__ as em
+
+    r = em.queries()["minhash_sig_contract"](spark, sf_dir).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["null_sig"] == 2  # NULL text + whitespace-only text
+    assert r["len_128"] == 3
+    assert r["in_range"] == 3
+    assert r["inconsistent_groups"] == 0
+
+    # sensitivity: docs 1 and 2 really do share one normalized group —
+    # the zero above counts a group of size 2, not only singletons
+    from pyspark.sql import functions as F
+
+    norm = df.where(F.col("text").isNotNull()).select(
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("n")
+    )
+    counts = {r["n"]: r["c"] for r in norm.groupBy("n").agg(F.count("*").alias("c")).collect()}
+    assert counts["the quick brown fox jumps over the lazy dog"] == 2

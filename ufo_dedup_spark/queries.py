@@ -1696,6 +1696,80 @@ def simhash_null_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_sig_contract",
+    # The SQL-expressible contract of the MinHash surface (the permutation
+    # VALUES are M61 modular arithmetic no SQL engine reproduces; those are
+    # pinned exact-value by tests/test_hashing.py). Four invariants a SQL
+    # oracle CAN state: (1) a signature is NULL exactly for tokenless docs,
+    # (2) every non-NULL signature has num_perm=128 elements, (3) every
+    # element lies in [0, 2^61-1), and (4) the signature is a pure function
+    # of the whitespace-token sequence — docs equal after collapsing
+    # whitespace runs MUST share one signature, so the violation count is
+    # identically zero. (ASCII-whitespace collapse is a refinement of the
+    # kernel's Unicode str.split(): key-equal docs are byte-equal after the
+    # collapse, hence token-equal — a finer grouping can only under-merge,
+    # never produce a false violation.)
+    r"""
+    WITH d AS (
+        SELECT CASE WHEN text IS NULL
+                         OR regexp_replace(text, '\s+', '', 'g') = ''
+                    THEN 1 ELSE 0 END AS tokenless
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokenless) AS BIGINT) AS null_sig,
+           CAST(SUM(1 - tokenless) AS BIGINT) AS len_128,
+           CAST(SUM(1 - tokenless) AS BIGINT) AS in_range,
+           CAST(0 AS BIGINT) AS inconsistent_groups
+    FROM d
+    """,
+)
+def minhash_sig_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row computed from the ACTUAL MinHash output: doc/NULL counts,
+    how many signatures have exactly 128 in-range elements, and how many
+    normalized-text groups violate signature determinism (must be 0).
+    Diagnostic contract row at sample scale — the signature UDF runs twice
+    (two grouping shapes over one projection), fine for a counter query."""
+    from ufo_dedup_spark.functions.hashing import make_minhash_udf
+
+    m61 = F.lit(2305843009213693951)  # 2^61 - 1
+    mh = make_minhash_udf(num_perm=128, shingle_k=5, seed=42)
+    base = _read(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("norm"),
+        mh(F.col("text")).alias("sig"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("sig").isNull(), 1).otherwise(0)
+        ).cast("long").alias("null_sig"),
+        F.sum(
+            F.when(
+                F.col("sig").isNotNull() & (F.size("sig") == 128), 1
+            ).otherwise(0)
+        ).cast("long").alias("len_128"),
+        F.sum(
+            F.when(
+                F.col("sig").isNotNull()
+                & F.forall("sig", lambda v: (v >= 0) & (v < m61)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("in_range"),
+    )
+    inconsistent = (
+        base.where(F.col("sig").isNotNull())
+        .groupBy("norm")
+        .agg(F.count_distinct(F.xxhash64("sig")).alias("n_sigs"))
+        .agg(
+            F.sum(F.when(F.col("n_sigs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("inconsistent_groups")
+        )
+    )
+    return stats.crossJoin(inconsistent)
+
+
+@register(
     "ann_near_dup_pairs",
     # Full-probe IVF (n_probe == n_centroids) is provably equal to the
     # brute-force all-pairs join — every vector lands in every probed
