@@ -264,3 +264,51 @@ def test_tier3_score_udf_semantics(spark):
             assert s is None
         else:
             assert s == pytest.approx(kernel.compute_similarity(a, b, sa, sb))
+
+
+def test_first_wins_by_priority_matches_generic(spark):
+    """The hash-aggregable pipeline specialization must produce EXACTLY the
+    generic first_wins output whenever its preconditions hold (method <->
+    priority bijection, constant status) — including NULL scores, ties on
+    (priority, score), and multi-method duplicates of one pair."""
+    from ufo_dedup_spark.operators.pairs import first_wins, first_wins_by_priority
+    from ufo_dedup_spark.pipeline import METHOD_PRIORITY
+
+    rows = [
+        # pair seen by three methods: best priority wins
+        (1, 2, 0.8, "minhash_lsh", "pending"),
+        (1, 2, 0.8, "exact", "pending"),
+        (1, 2, 0.95, "prefix", "pending"),
+        # same priority twice (duplicate emission): score tie
+        (3, 4, 0.71, "simhash", "pending"),
+        (3, 4, 0.71, "simhash", "pending"),
+        # same priority, different scores: higher score wins
+        (5, 6, 0.70, "substring", "pending"),
+        (5, 6, 0.93, "substring", "pending"),
+        # NULL score loses to a scored row of equal priority
+        (7, 8, None, "minhash_lsh", "pending"),
+        (7, 8, 0.70, "minhash_lsh", "pending"),
+        # lone NULL-score pair survives with NULL score
+        (9, 10, None, "exact", "pending"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, score double, method string, status string"
+    )
+    prio = F.when(F.lit(False), F.lit(0))
+    for m, p in METHOD_PRIORITY.items():
+        prio = prio.when(F.col("method") == m, F.lit(p))
+    with_prio = df.withColumn("priority", prio.otherwise(F.lit(99)))
+
+    generic = {tuple(r) for r in first_wins(with_prio).collect()}
+    fast = {
+        tuple(r)
+        for r in first_wins_by_priority(with_prio, METHOD_PRIORITY).collect()
+    }
+    assert fast == generic
+    # and the specialization's plan must be hash-aggregated (no sort-based
+    # fallback — the whole point of the rewrite)
+    plan = (
+        first_wins_by_priority(with_prio, METHOD_PRIORITY)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" not in plan

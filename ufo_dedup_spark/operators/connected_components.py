@@ -269,17 +269,16 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_conf)
 
-    # at convergence every edge points node -> component min
-    comp = nbr.groupBy("u").agg(F.min("v").alias("cluster_id"))
-    comp = comp.select(
+    # at convergence every edge points node -> component min. nbr is
+    # SYMMETRIZED (_both_dirs after every round, and at entry), so every
+    # node of the edge set — including every component root — appears as u
+    # and gets exactly one comp row from the groupBy; and cluster_id =
+    # least(u, min(v)) <= u means a root's own row is already (root, root).
+    # The previous roots-distinct + union + re-groupBy therefore added no
+    # rows and changed no labels — two exchanges of pure redundancy,
+    # removed (guide §2.4); output is identical (oracled by doc_clusters
+    # and pinned by tests/test_cc.py in both converged and capped modes).
+    return nbr.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
         F.col("u").alias("id"),
         F.least(F.col("u"), F.col("cluster_id")).alias("cluster_id"),
-    )
-    roots = comp.select(F.col("cluster_id").alias("id")).distinct().withColumn(
-        "cluster_id", F.col("id")
-    )
-    return (
-        comp.unionByName(roots)
-        .groupBy("id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
     )

@@ -43,6 +43,7 @@ def pairs_within_groups(
     id_col: str,
     all_pairs_cap: int = 64,
     extra_cols: list[str] | None = None,
+    keep_group_cols: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) within each group, with bounded fan-out.
 
@@ -55,6 +56,11 @@ def pairs_within_groups(
     actually dedupes, and (b) keeps component diameter at 2, so union-find
     converges in O(1) rounds instead of O(log chain-length).
     Shared by exact dedup, LSH buckets, prefix blocks and winnow buckets.
+
+    ``keep_group_cols=True`` additionally returns the group-key columns on
+    every pair row — used by callers that fuse several bucket families
+    into one call (disjoint key spaces tagged by a family column) and need
+    the family back for per-family post-filters.
     """
     extra_cols = extra_cols or []
 
@@ -98,11 +104,13 @@ def pairs_within_groups(
         lambda y: F.struct(F.col("xs")[0].alias("a"), y.alias("b")),
     )
     pairs = groups.select(
+        *([F.col(c) for c in group_cols] if keep_group_cols else []),
         F.explode(
             F.when(n <= all_pairs_cap, all_pairs).otherwise(star)
-        ).alias("p")
+        ).alias("p"),
     )
     return pairs.select(
+        *([F.col(c) for c in group_cols] if keep_group_cols else []),
         F.col("p.a.i").alias("id_a"),
         F.col("p.b.i").alias("id_b"),
         *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in extra_cols],
@@ -117,11 +125,19 @@ def lsh_candidate_pairs(
     bands: int = 32,
     rows_per_band: int = 4,
     all_pairs_cap: int = 64,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash LSH banding.
 
     NULL signatures (empty docs) are dropped before banding — they carry no
     content to match and would otherwise co-bucket in every band.
+
+    ``distinct=False`` skips the final dedup exchange for callers that feed
+    the pairs into their OWN pair-keyed aggregation (the pipeline's
+    method-priority groupBy): the same pair surfacing in several bands is
+    then collapsed by the consumer's map-side partial aggregation instead
+    of a dedicated shuffle — one full exchange of the pair table saved,
+    identical downstream results.
     """
     docs = docs.filter(F.col(sig_col).isNotNull())
     # NOT materialized: pairs_within_groups scans the band table twice
@@ -139,7 +155,8 @@ def lsh_candidate_pairs(
         buckets, ["band_idx", "band_hash"], "_id", all_pairs_cap
     )
     # a pair can surface in several bands — dedupe before expensive verify
-    return pairs.select("id_a", "id_b").distinct()
+    out = pairs.select("id_a", "id_b")
+    return out.distinct() if distinct else out
 
 
 def simhash_candidate_pairs(
@@ -149,10 +166,14 @@ def simhash_candidate_pairs(
     n_chunks: int = 4,
     max_hamming: int = 3,
     all_pairs_cap: int = 64,
+    distinct: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: block on 16-bit fingerprint chunks
     (pigeonhole: hamming <= n_chunks-1 guarantees one identical chunk),
     then verify Hamming distance natively via bit_count(xor).
+
+    ``distinct=False``: same contract as lsh_candidate_pairs — the caller's
+    pair-keyed aggregation dedupes, saving the dedicated exchange.
     """
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -180,4 +201,5 @@ def simhash_candidate_pairs(
     verified = pairs.filter(
         F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b"))) <= max_hamming
     )
-    return verified.select("id_a", "id_b").distinct()
+    out = verified.select("id_a", "id_b")
+    return out.distinct() if distinct else out

@@ -57,6 +57,59 @@ def first_wins(pairs: DataFrame, priority_col: str = "priority") -> DataFrame:
     return won.select("id_a", "id_b", "_w.*")
 
 
+def first_wins_by_priority(
+    pairs: DataFrame,
+    method_by_priority: dict[str, int],
+    status: str = "pending",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """first_wins specialized to the pipeline's pair shape — identical
+    output, hash-aggregable plan.
+
+    Preconditions (the pipeline satisfies both by construction):
+    - ``method`` <-> ``priority`` is a bijection given by
+      ``method_by_priority`` (every input row's method is in the dict), so
+      the generic tie-break ``(priority, method, -score)`` reduces to
+      ``(priority, -score)`` and the winning method can be DECODED from the
+      winning priority after the aggregation;
+    - ``status`` is the same constant on every row.
+
+    Why: min_by over a string-bearing struct is not hash-aggregable — and
+    neither is min over a struct (aggregation buffers must be mutable
+    primitive types) — so the planner falls back to SortAggregate, fully
+    sorting the pair union before the partial agg and again after the
+    exchange. This formulation uses only SCALAR aggregates (min(int) plus
+    one conditional max(double) per priority level — the bijection is a
+    small frozen dict, so the fan-out is constant): the dedup stays a
+    HashAggregate with map-side partial aggregation (guide §2.3), no
+    sorts, and the winning score is the per-level max itself — no float
+    encode/decode round trip. A pair whose winning-priority rows all have
+    NULL score keeps a NULL score (max ignores NULLs), matching the
+    generic tie-break where NULL sorts last.
+    """
+    prios = sorted(set(method_by_priority.values()))
+    aggs = [F.min(F.col(priority_col)).alias("_p")] + [
+        F.max(
+            F.when(F.col(priority_col) == p, F.col("score"))
+        ).alias(f"_s{p}")
+        for p in prios
+    ]
+    won = pairs.groupBy("id_a", "id_b").agg(*aggs)
+    decode = F.when(F.lit(False), F.lit(""))
+    score = F.when(F.lit(False), F.lit(0.0))
+    for m, p in method_by_priority.items():
+        decode = decode.when(F.col("_p") == p, F.lit(m))
+    for p in prios:
+        score = score.when(F.col("_p") == p, F.col(f"_s{p}"))
+    return won.select(
+        "id_a",
+        "id_b",
+        score.alias("score"),
+        decode.alias("method"),
+        F.lit(status).alias("status"),
+    )
+
+
 def anti_join_existing(candidates: DataFrame, existing: DataFrame) -> DataFrame:
     """Drop candidate pairs already present in the pair table (dedup.py:520-524,
     558-560). Both inputs must already be canonicalized."""

@@ -37,13 +37,11 @@ from pyspark.storagelevel import StorageLevel
 from ufo_dedup_spark.functions.extract import extract_text_udf
 from ufo_dedup_spark.functions.hashing import make_minhash_udf, make_simhash_udf
 from ufo_dedup_spark.operators.connected_components import connected_components
-from ufo_dedup_spark.operators.exact import exact_dup_pairs
 from ufo_dedup_spark.operators.minhash_lsh import (
-    lsh_candidate_pairs,
+    band_hashes_col,
     pairs_within_groups,
-    simhash_candidate_pairs,
 )
-from ufo_dedup_spark.operators.pairs import first_wins
+from ufo_dedup_spark.operators.pairs import first_wins_by_priority
 from ufo_dedup_spark.operators.substring import (
     substring_candidate_pairs,
     verify_substring_pairs,
@@ -303,26 +301,105 @@ def candidate_pairs(
         else signed.localCheckpoint(eager=True, storageLevel=barrier_level)
     )
 
-    parts = [
-        exact_dup_pairs(docs, "id", "text", cfg.all_pairs_cap)
-        .withColumn("method", F.lit("exact")),
-        lsh_candidate_pairs(
-            signed, "id", "minhash", cfg.bands, cfg.rows_per_band,
-            cfg.all_pairs_cap,
-        ).withColumn("method", F.lit("minhash_lsh")),
-        simhash_candidate_pairs(
-            signed, "id", "simhash", cfg.simhash_chunks,
-            cfg.simhash_max_hamming, cfg.all_pairs_cap,
-        ).withColumn("method", F.lit("simhash")),
-        prefix_candidate_pairs(docs, cfg).withColumn("method", F.lit("prefix")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # FUSED bucket families (guide §2.4 "remove shuffles outright"): all
+    # four candidate generators are "pairs within groups" over DISJOINT
+    # key spaces, so instead of four pairs_within_groups calls — each
+    # paying its own count-agg exchange and collect-agg exchange (8
+    # exchanges) — the keyed rows are unioned under a family tag and ONE
+    # call does the bucket-size pre-agg, member semi-join and member
+    # collection for every family at once (2 exchanges). Family tag =
+    # METHOD_PRIORITY value, so the tag IS the method priority and the
+    # per-pair method resolution below is a plain min(int) — hash-
+    # aggregable with map-side partial aggregation (min_by over the method
+    # STRING forced a SortAggregate, fully sorting the candidate union
+    # twice). Per-family semantics are unchanged: group keys are disjoint
+    # (the tag is part of the key), the per-group star cap applies exactly
+    # as before, and the SimHash Hamming verify runs on the family's pairs
+    # via the carried fingerprint (NULL for other families).
+    null_fp = F.lit(None).cast("long")
+    exact_rows = docs.select(
+        F.col("id").alias("_id"),
+        F.lit(METHOD_PRIORITY["exact"]).alias("_fam"),
+        F.lit(0).alias("_k1"),
+        F.xxhash64("text").alias("_k2"),
+        null_fp.alias("_fp"),
+    )
+    lsh_rows = (
+        signed.filter(F.col("minhash").isNotNull())
+        .select(
+            F.col("id").alias("_id"),
+            F.posexplode(
+                band_hashes_col("minhash", cfg.bands, cfg.rows_per_band)
+            ).alias("_k1", "_k2"),
+        )
+        .select(
+            "_id",
+            F.lit(METHOD_PRIORITY["minhash_lsh"]).alias("_fam"),
+            "_k1",
+            "_k2",
+            null_fp.alias("_fp"),
+        )
+    )
+    chunk_bits = 64 // cfg.simhash_chunks
+    chunk_mask = (1 << chunk_bits) - 1
+    sim_rows = (
+        signed.filter(F.col("simhash").isNotNull())
+        .select(
+            F.col("id").alias("_id"),
+            F.col("simhash").alias("_fp"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * chunk_bits
+                        ).bitwiseAND(F.lit(chunk_mask))
+                        for i in range(cfg.simhash_chunks)
+                    ]
+                )
+            ).alias("_k1", "_k2"),
+        )
+        .select(
+            "_id",
+            F.lit(METHOD_PRIORITY["simhash"]).alias("_fam"),
+            "_k1",
+            "_k2",
+            "_fp",
+        )
+    )
+    lt = F.lower(F.trim(F.col("text")))
+    pfx_rows = (
+        docs.filter(F.length(F.trim("text")) >= PREFIX_MIN_CHARS)
+        .select(
+            F.col("id").alias("_id"),
+            F.lit(METHOD_PRIORITY["prefix"]).alias("_fam"),
+            F.lit(0).alias("_k1"),
+            F.xxhash64(F.substring(lt, 1, cfg.prefix_key_chars)).alias("_k2"),
+            null_fp.alias("_fp"),
+        )
+    )
+    keyed = (
+        exact_rows.unionByName(lsh_rows)
+        .unionByName(sim_rows)
+        .unionByName(pfx_rows)
+    )
+    fused = pairs_within_groups(
+        keyed,
+        ["_fam", "_k1", "_k2"],
+        "_id",
+        cfg.all_pairs_cap,
+        extra_cols=["_fp"],
+        keep_group_cols=True,
+    )
+    out = fused.filter(
+        (F.col("_fam") != F.lit(METHOD_PRIORITY["simhash"]))
+        | (
+            F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b")))
+            <= cfg.simhash_max_hamming
+        )
+    ).select("id_a", "id_b", F.col("_fam").alias("_p"))
 
-    # resolve multi-method duplicates (best priority wins) with a hash
-    # min_by aggregation — map-side combinable, no full sort of the
-    # candidate union — then cap the per-doc candidate fan-in.
+    # resolve multi-method duplicates (best priority wins), then cap the
+    # per-doc candidate fan-in.
     # No prefix flag is threaded through: starts-with eligibility is
     # re-derived in verify_candidate_pairs from the per-doc prefix key
     # (prepare_tokens._pk), so EVERY candidate pair whose texts share a
@@ -330,11 +407,13 @@ def candidate_pairs(
     # applies the shortcut inside compute_similarity for every pair in
     # every tier (reference dedup.py:110-116), not only pairs the prefix
     # band happened to surface.
-    prio = F.when(F.lit(False), F.lit(0))
+    decode = F.when(F.lit(False), F.lit(""))
     for m, p in METHOD_PRIORITY.items():
-        prio = prio.when(F.col("method") == m, F.lit(p))
-    out = out.groupBy("id_a", "id_b").agg(
-        F.min_by(F.col("method"), prio.otherwise(F.lit(99))).alias("method"),
+        decode = decode.when(F.col("_p") == p, F.lit(m))
+    out = (
+        out.groupBy("id_a", "id_b")
+        .agg(F.min("_p").alias("_p"))
+        .select("id_a", "id_b", decode.alias("method"))
     )
     # Per-doc fan-in cap, applied on BOTH sides of the pair: an edge survives
     # if it is within either endpoint's K nearest (smallest-id) partners.
@@ -740,8 +819,12 @@ def run_pipeline(
     prio = F.when(F.lit(False), F.lit(0))
     for m, p in METHOD_PRIORITY.items():
         prio = prio.when(F.col("method") == m, F.lit(p))
-    pairs = first_wins(
-        all_pairs.withColumn("priority", prio.otherwise(F.lit(99)))
+    # every pipeline method is in METHOD_PRIORITY and status is the
+    # constant 'pending', so the hash-aggregable specialization applies
+    # (identical output to first_wins, no SortAggregate)
+    pairs = first_wins_by_priority(
+        all_pairs.withColumn("priority", prio.otherwise(F.lit(99))),
+        METHOD_PRIORITY,
     ).persist()
     _mark("build_tail", _t)
 
@@ -850,8 +933,9 @@ def run_pipeline_checkpointed(
         prio = F.when(F.lit(False), F.lit(0))
         for m, p in METHOD_PRIORITY.items():
             prio = prio.when(F.col("method") == m, F.lit(p))
-        return first_wins(
-            all_pairs.withColumn("priority", prio.otherwise(F.lit(99)))
+        return first_wins_by_priority(
+            all_pairs.withColumn("priority", prio.otherwise(F.lit(99))),
+            METHOD_PRIORITY,
         )
 
     pairs = mgr.stage("pairs", build_pairs)
