@@ -402,3 +402,22 @@ def test_connected_components_capped_labels_sound(spark):
     # and uncapped converges to exactly two components
     full = connected_components(edges).collect()
     assert len({r["cluster_id"] for r in full}) == 2
+
+
+def test_lcs_udf_evaluated_once(spark):
+    """The LCS pandas UDF output is filtered on (lcs_len >= min_span);
+    predicate pushdown must NOT duplicate the UDF evaluation — exactly one
+    ArrowEvalPython node in the physical plan (the UDF is marked
+    non-deterministic to pin this; a regression doubles the most expensive
+    per-row kernel in the pipeline)."""
+    from ufo_dedup_spark.operators.substring import verify_substring_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "word %d " % i * 60) for i in range(6)], "id long, text string"
+    )
+    cands = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    plan = (
+        verify_substring_pairs(cands, docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1

@@ -105,9 +105,16 @@ def lang_marker_count_col(text: Column, lang: str) -> Column:
     Coalesced to 0 for NULL text so NULL classifies as 'und' rather than
     falling through every NULL CASE condition to the last branch.
     """
+    return lang_marker_count_from_tokens(tokens_col(text), lang)
+
+
+def lang_marker_count_from_tokens(toks: Column, lang: str) -> Column:
+    """lang_marker_count_col over an already-tokenized array — callers that
+    materialize the token array once (a lower projection) avoid
+    re-tokenizing per language profile."""
     markers = LANG_MARKERS[lang]
     return F.coalesce(
-        F.size(F.filter(tokens_col(text), lambda t: t.isin(markers))),
+        F.size(F.filter(toks, lambda t: t.isin(markers))),
         F.lit(0),
     )
 
@@ -134,9 +141,20 @@ def lang_id_col(text: Column) -> Column:
     occurs; Latin ties break toward the alphabetically-first language
     code (de < en < es < fr) — the CASE chain below is mirrored exactly
     in the oracle SQL.
+
+    NOTE: each marker count re-tokenizes ``text`` and each count appears
+    in several CASE branches; hot paths should materialize the counts in
+    a lower projection and use ``lang_id_from_counts`` instead.
     """
     c = {lang: lang_marker_count_col(text, lang) for lang in LANG_MARKERS}
     zh = cjk_char_count_col(text)
+    return lang_id_from_counts(c, zh)
+
+
+def lang_id_from_counts(c: dict, zh: Column) -> Column:
+    """The lang-ID CASE chain over precomputed marker-count Columns
+    (``c[lang]`` per Latin language, ``zh`` for CJK chars). Exactly the
+    decision chain mirrored in the oracle SQL."""
     return (
         F.when(
             (zh == 0)
@@ -177,13 +195,23 @@ def bpe_token_count_col(text: Column) -> Column:
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct word ``k``-gram shingles, hashed to 64-bit longs.
 
+    NOTE: references the tokenizer from inside a per-element lambda, so a
+    consumer that has not materialized the token array re-tokenizes per
+    shingle position; hot paths should project ``tokens_col`` first and
+    call ``shingles_from_tokens_col``.
+    """
+    return shingles_from_tokens_col(tokens_col(text), k)
+
+
+def shingles_from_tokens_col(toks: Column, k: int = 3) -> Column:
+    """shingles_col over an already-tokenized array.
+
     Empty array for docs with fewer than ``k`` tokens (the WHEN guard is
     load-bearing: an unguarded ``sequence(1, n-k+1)`` DESCENDS for short
     docs). Hashing shingles to longs makes downstream ``array_intersect``
     far cheaper than on strings; Jaccard values are identical to a
     string-shingle oracle modulo 64-bit collisions (~1e-16 per pair).
     """
-    toks = tokens_col(text)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),

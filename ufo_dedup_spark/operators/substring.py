@@ -175,11 +175,20 @@ def fast_lcs_len(a: str, b: str) -> int:
 
 
 @pandas_udf(IntegerType())
-def lcs_len_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+def _lcs_len_udf_det(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     out = [
         fast_lcs_len(a or "", b or "") for a, b in zip(text_a, text_b)
     ]
     return pd.Series(out, dtype="int32")
+
+
+# Marked non-deterministic (it IS deterministic — this only restricts the
+# optimizer, guide §4.4): the caller filters on the UDF's output column,
+# and predicate pushdown otherwise duplicates the evaluation — one
+# ArrowEvalPython below the pushed filter and a second in the surviving
+# projection, doubling the single most expensive per-row kernel in the
+# pipeline (plan-asserted by test_lcs_udf_evaluated_once).
+lcs_len_udf = _lcs_len_udf_det.asNondeterministic()
 
 
 def substring_candidate_pairs(

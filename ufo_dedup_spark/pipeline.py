@@ -445,8 +445,8 @@ def prepare_tokens(docs: DataFrame) -> DataFrame:
     this table's payload through two exchanges per candidate pair, and the
     only consumer of full text — the starts-with rule — needs it ONLY for
     docs in a multi-member prefix family, which verify_candidate_pairs
-    left-joins onto the sides from the (tiny) family table before the
-    candidate join."""
+    left-joins onto the PAIR rows from the (tiny) family table after the
+    token joins."""
     # no array_sort: array_intersect is hash-set based, so ordering buys
     # nothing downstream and the per-doc O(n log n) comparator pass was
     # ~1/3 of this stage's JVM time; array_distinct alone is O(n)
@@ -474,6 +474,7 @@ def verify_candidate_pairs(
     docs: DataFrame,
     cfg: PipelineConfig,
     prepped: DataFrame | None = None,
+    filtered: bool = True,
 ) -> DataFrame:
     """Exact verification: token Jaccard for every candidate, plus the
     reference's >=20-char starts-with rule — applied to EVERY candidate
@@ -491,19 +492,19 @@ def verify_candidate_pairs(
     per-pair string tokenization at 70k candidates). 64-bit token-hash
     collisions perturb Jaccard by < 1e-4 — far below the threshold.
 
-    Cost discipline, per-byte: ONE join does everything. The starts-with
-    family — docs whose 20-char prefix key is shared by >= 2 docs — is
-    computed from an 8-byte groupBy over the token table, left-semi-prunes
-    the text table down to family members, and ONLY their lowered text is
-    left-joined onto the per-doc verification sides before the candidate
-    join. Eligibility per pair is then a prefix-key equi-check evaluated
-    INLINE (prefix-of implies equal first-20-chars, so _pk equality is a
-    necessary condition, and both endpoints of an eligible pair are family
-    members by construction — their texts are present). Text bytes through
-    the verify exchanges are therefore bounded by the FAMILY SIZE (each
-    family doc's text ships once per side), independent of the candidate
-    count, and the bound holds with AQE off — it does not rely on the
-    optimizer broadcasting anything. Versus the round-5 shape this deletes
+    Cost discipline, per-byte: the starts-with family — docs whose 20-char
+    prefix key is shared by >= 2 docs — is computed from an 8-byte groupBy
+    over the token table and left-semi-prunes the text table down to
+    family members; ONLY their lowered text exists downstream (the
+    LeftSemi bound holds with AQE off — it does not rely on the optimizer
+    broadcasting anything). The family texts are left-joined onto the PAIR
+    rows after the token joins, so the token-payload exchanges never carry
+    text and the family subtree is planned once per pair side rather than
+    once per (larger) doc side. Eligibility per pair is a prefix-key
+    equi-check evaluated INLINE (prefix-of implies equal first-20-chars,
+    so _pk equality is a necessary condition, and both endpoints of an
+    eligible pair are family members by construction — their texts are
+    present on the joined row). Versus the round-5 shape this also deletes
     two extra exchanges of the candidate table (the separate eligibility
     joins), the distinct over family ids, and a full pair-keyed exchange
     of the scored table (the pfx join-back).
@@ -529,22 +530,39 @@ def verify_candidate_pairs(
     fam_text = docs.join(fam_ids, "id", "left_semi").select(
         "id", F.lower(F.trim(F.col("text"))).alias("_t")
     )
-    # per-doc verification sides: token set + count + prefix key, and the
-    # lowered text ONLY for family members (NULL otherwise)
-    side = prepped.select("id", "_tok", "_n", "_pk").join(
-        fam_text, "id", "left"
-    )
-    a = side.select(
+    # per-doc verification sides: token set + count + prefix key. The
+    # family TEXT is deliberately NOT joined onto the sides: the sides
+    # cross the pair-join exchanges once per doc with the token payload,
+    # and attaching _t here would (a) ship family text through those
+    # exchanges and (b) build the whole fam_keys/fam_ids/fam_text subtree
+    # once under EACH side (the planner does not dedupe it). Instead the
+    # tiny fam_text table is left-joined onto the PAIR rows after the
+    # token joins — same rows and scores (the old per-side left join
+    # produced exactly fam_text._t for members, NULL otherwise), the text
+    # bound stays family-sized, and the subtree is planned once per pair
+    # side instead of once per doc side.
+    a = prepped.select(
         F.col("id").alias("id_a"),
         F.col("_tok").alias("_tok_a"), F.col("_n").alias("_na"),
-        F.col("_pk").alias("_pka"), F.col("_t").alias("_ta"),
+        F.col("_pk").alias("_pka"),
     )
-    b = side.select(
+    b = prepped.select(
         F.col("id").alias("id_b"),
         F.col("_tok").alias("_tok_b"), F.col("_n").alias("_nb"),
-        F.col("_pk").alias("_pkb"), F.col("_t").alias("_tb"),
+        F.col("_pk").alias("_pkb"),
     )
-    j = cands.join(a, "id_a").join(b, "id_b")
+    fam_a = fam_text.select(
+        F.col("id").alias("id_a"), F.col("_t").alias("_ta")
+    )
+    fam_b = fam_text.select(
+        F.col("id").alias("id_b"), F.col("_t").alias("_tb")
+    )
+    j = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .join(fam_a, "id_a", "left")
+        .join(fam_b, "id_b", "left")
+    )
 
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
     union = F.col("_na") + F.col("_nb") - inter
@@ -564,6 +582,18 @@ def verify_candidate_pairs(
         "id_a", "id_b", score.alias("score"), "method",
         F.lit("pending").alias("status"),
     )
+    if not filtered:
+        # ``filtered=False`` exists because filtering on the just-computed
+        # score column makes Catalyst push the predicate BELOW the scoring
+        # projection, substituting the full score expression into the
+        # filter — the array_intersect and the starts-with comparison then
+        # run TWICE per surviving row (measured ~2x the scoring cost at
+        # 20k docs; almost every candidate survives, so the filter saves
+        # nothing). Callers that materialize the scored table anyway
+        # (run_pipeline's verify checkpoint) apply the threshold on the
+        # MATERIALIZED column instead — identical rows downstream, score
+        # computed once.
+        return scored
     return scored.filter(F.col("score") >= cfg.verify_threshold)
 
 
@@ -784,9 +814,14 @@ def run_pipeline(
     _mark("branch_block_wall", _t_block)
 
     _t = time.time()
+    # filtered=False + filter on the materialized column: the threshold
+    # predicate would otherwise be pushed below the scoring projection and
+    # re-evaluate the score expression per row (see verify_candidate_pairs)
     verified = verify_candidate_pairs(
-        cands, docs, cfg, prepped=prepped
-    ).localCheckpoint(eager=True)
+        cands, docs, cfg, prepped=prepped, filtered=False
+    ).localCheckpoint(eager=True).filter(
+        F.col("score") >= cfg.verify_threshold
+    )
     _mark("verify", _t)
     all_pairs = verified
     if cfg.substring_enabled:

@@ -100,19 +100,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 multi-way join + W1 top-k (TakeOrderedAndProject, no full sort)."""
+    """J9 multi-way join + W1 top-k (TakeOrderedAndProject, no full sort).
+
+    Aggregates by o_custkey BEFORE joining customer (c_custkey is unique,
+    so the (c_custkey, c_name) grouping partitions lineitem rows exactly
+    like o_custkey does): the lineitem-sized stream no longer probes the
+    customer hash relation row-by-row, and the aggregation exchange stops
+    carrying c_name on every partial-aggregate row (guide §2.3 "project
+    before the exchange" / "aggregate before you shuffle"). The customer
+    broadcast join then touches only the ~|customers| aggregated rows.
+    """
     c = F.broadcast(_read(spark, sf_dir, "customer"))
     o = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    return (
+    rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
+        .groupBy("o_custkey")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
@@ -330,16 +342,44 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality metrics — all JVM-side Column expressions."""
+    """Per-document quality metrics — all JVM-side Column expressions.
+
+    Tokenizes ONCE: the naive one-projection form repeats the
+    split/array_remove tokenizer inside every metric (~10 evaluations per
+    row — higher-order lambdas keep this Project out of whole-stage
+    codegen, so no compile-time subexpression elimination rescues it).
+    Materializing the token array in a lower projection makes every metric
+    an array op over the same column; Catalyst keeps the projections
+    separate (CollapseProject refuses to duplicate non-cheap expressions).
+    Metric identities vs the oracle: distinct(remove(x)) == remove(
+    distinct(x)) element-wise for the '' removal, so counts are equal.
+    """
     d = _read(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
+    toks = d.select("doc_id", TX.tokens_col(F.col("text")).alias("_tk"))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    n_distinct = F.size(F.array_distinct(tk))
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(TX.STOPWORDS)))
+    total_len = F.aggregate(tk, F.lit(0), lambda acc, t: acc + F.length(t))
+    nd = n.cast("double")
+    return toks.select(
         "doc_id",
-        TX.token_count_col(t).alias("n_tokens"),
-        TX.distinct_token_count_col(t).alias("n_distinct_tokens"),
-        F.round(TX.stopword_ratio_col(t), 6).alias("stopword_ratio"),
-        F.round(TX.avg_token_len_col(t), 6).alias("avg_token_len"),
-        TX.quality_score_col(t).alias("quality_score"),
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(
+            F.when(n > 0, n_stop.cast("double") / nd).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n > 0, total_len.cast("double") / nd).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.least(F.lit(1.0), nd / F.lit(100.0))
+            * F.when(n > 0, n_distinct.cast("double") / nd).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("quality_score"),
     )
 
 
@@ -666,13 +706,35 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-token heuristic (n-gram LID reduced to its
     token-unigram core), reported as a labeled-vs-predicted confusion
     matrix. Pure codegen — F.filter/isin counts and a CASE chain, no
-    Python in the hot path; scales as one projection + one small groupBy.
+    Python in the hot path; scales as two projections + one small groupBy.
+
+    Tokenizes/counts in LOWER projections: the one-shot lang_id_col form
+    re-tokenizes per language profile and re-counts per CASE branch (the
+    higher-order lambdas keep the Project interpreted, so ~15 tokenizer
+    evaluations per row); materializing the token array and then the five
+    marker counts makes the CASE a constant-time column read.
     """
     d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        TX.tokens_col(F.col("text")).alias("_tk"),
+        TX.cjk_char_count_col(F.col("text")).alias("_zh"),
+    )
+    counts = toks.select(
+        "lang",
+        "_zh",
+        *[
+            TX.lang_marker_count_from_tokens(F.col("_tk"), lang).alias(
+                f"_c_{lang}"
+            )
+            for lang in TX.LANG_MARKERS
+        ],
+    )
+    c = {lang: F.col(f"_c_{lang}") for lang in TX.LANG_MARKERS}
     return (
-        d.select(
+        counts.select(
             F.col("lang").alias("labeled_lang"),
-            TX.lang_id_col(F.col("text")).alias("predicted_lang"),
+            TX.lang_id_from_counts(c, F.col("_zh")).alias("predicted_lang"),
         )
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -747,12 +809,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rows=_BLOCK_MAX_ROWS,
         min_distinct=("source", _BLOCK_MIN_SOURCES),
     )
-    d = d0.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi").select(
-        "doc_id",
-        "source",
-        "lang",
-        "len_bucket",
-        TX.shingles_col(F.col("text")).alias("sh"),
+    # tokenize in its own projection: shingles_col references the token
+    # array from inside a per-shingle lambda, so without materialization
+    # the tokenizer re-runs O(n_tokens) times per doc
+    d = (
+        d0.join(F.broadcast(adm), on=["lang", "len_bucket"], how="left_semi")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "len_bucket",
+            TX.tokens_col(F.col("text")).alias("_tk"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "len_bucket",
+            TX.shingles_from_tokens_col(F.col("_tk")).alias("sh"),
+        )
     )
     a = d.select(
         F.col("doc_id").alias("id_a"),
@@ -991,12 +1066,16 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per source (training-data pipeline staple)."""
+    """Corpus token accounting per source (training-data pipeline staple).
+
+    Tokenizes once per row in a lower projection (the one-shot form split
+    the text twice — once per count; distinct(remove('')) ==
+    remove(distinct(''))-count, same identity as doc_stats)."""
     d = _read(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.groupBy("source").agg(
-        F.sum(TX.token_count_col(t)).cast("long").alias("total_tokens"),
-        F.sum(TX.distinct_token_count_col(t))
+    toks = d.select("source", TX.tokens_col(F.col("text")).alias("_tk"))
+    return toks.groupBy("source").agg(
+        F.sum(F.size("_tk")).cast("long").alias("total_tokens"),
+        F.sum(F.size(F.array_distinct("_tk")))
         .cast("long")
         .alias("total_distinct_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
