@@ -153,8 +153,11 @@ def main():
 
     summarize(state)
     flush()
+    # summarize() owns the best-of-reps dict (state["best_elapsed_sec"]);
+    # referencing a local `best` here was a NameError after the refactor
+    # that moved the summary block into summarize()
     print(json.dumps({
-        "best": best,
+        "best": state["best_elapsed_sec"],
         "efficiency": state["efficiency"],
         "outputs_identical": state["outputs_identical"],
     }))

@@ -31,6 +31,10 @@ def main():
                     help="override PipelineConfig.barrier_format for "
                          "barrier-implementation A/Bs (default: config "
                          "default, i.e. 'auto')")
+    ap.add_argument("--tokens-bucketed", default=None, choices=["on", "off"],
+                    help="override PipelineConfig.tokens_barrier_bucketed "
+                         "(parquet-barrier runs only) for the bucketed "
+                         "doc_tokens A/B")
     args = ap.parse_args()
 
     spark = build_session(app_name="run-pipeline", master=args.master)
@@ -45,8 +49,12 @@ def main():
     # re-reads the corpus through loopback block fetches (the r5 4-JVM
     # docs_extract collapse, 33 -> 468 s). Parquet splits compress ~3-4x
     # and read per-executor with OS page-cache help.
-    cfg = (PipelineConfig(barrier_format=args.barrier_format)
-           if args.barrier_format else PipelineConfig())
+    cfg_kwargs = {}
+    if args.barrier_format:
+        cfg_kwargs["barrier_format"] = args.barrier_format
+    if args.tokens_bucketed:
+        cfg_kwargs["tokens_barrier_bucketed"] = args.tokens_bucketed == "on"
+    cfg = PipelineConfig(**cfg_kwargs)
     lc = (args.master or "").startswith("local-cluster")
     if args.rows >= cfg.barrier_disk_threshold_rows or lc:
         import atexit

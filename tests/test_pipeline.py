@@ -421,3 +421,22 @@ def test_lcs_udf_evaluated_once(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_verify_prune_sides_same_output(spark, corpus, result):
+    """verify_prune_sides=True (the sparse-corpus exchange bound) must not
+    change the pair table: pruning the token sides to candidate-touched
+    ids is a no-op under inner-join semantics."""
+    pages, _, _ = corpus
+    want = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in result["pairs"].collect()
+    }
+    res = run_pipeline(
+        spark, pages, PipelineConfig(verify_prune_sides=True)
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["method"], round(r["score"], 9))
+        for r in res["pairs"].collect()
+    }
+    assert got == want

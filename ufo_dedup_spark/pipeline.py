@@ -26,6 +26,7 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable
@@ -154,6 +155,26 @@ class PipelineConfig:
     # ~220 s), so disk storage alone must NOT trigger parquet.
     barrier_format: str = "auto"
 
+    # Parquet-barrier (multi-JVM) runs write the doc_tokens barrier as a
+    # BUCKETED+sorted table on id so both verify joins read it
+    # co-partitioned (no per-side exchange/sort of the token payload
+    # across executor JVMs). False = plain parquet splits; kept as a
+    # switch for the measured-both-ways A/B (scripts/verify_prune_ab.py /
+    # BENCH.md) like barrier_format. No effect on block-barrier
+    # (single-JVM) runs.
+    tokens_barrier_bucketed: bool = True
+
+    # Left-semi-prune the verify sides to ids that actually appear in the
+    # candidate table before joining token payloads. On a SPARSE-duplicate
+    # corpus (few candidate-touched docs) this bounds the verify exchanges
+    # by the candidate-touched set instead of the corpus; on a dense
+    # corpus (the synthetic bench, where most docs are candidates) the
+    # prune's own exchange of the token table is pure overhead. Default
+    # off; measured both ways by scripts/verify_prune_ab.py. Output is
+    # identical either way (inner joins are unchanged by pruning
+    # non-matching build rows).
+    verify_prune_sides: bool = False
+
     # Driver-round cap for the CHEAP pre-substring clustering only. That
     # CC exists solely to prune already-connected substring candidates
     # before the expensive LCS stage, and a capped (partially converged)
@@ -215,17 +236,45 @@ def make_parquet_barrier(spark) -> Callable[[DataFrame, str], DataFrame]:
     created lazily on first use and removed at interpreter exit (the
     returned DataFrames reference the files for the session's lifetime,
     so earlier cleanup would invalidate them).
+
+    ``bucket_by``: optional column name — the barrier is then written as a
+    BUCKETED (and per-bucket sorted) table instead of plain splits, so
+    downstream equi-joins on that column read the barrier already
+    partitioned: no exchange and no sort of the barrier side per join.
+    This is the multi-JVM verify fix — the token table was re-exchanged by
+    id twice (once per pair side) in every verify, and on separate-JVM
+    executors those exchanges are real network/disk traffic. Bucketed
+    parquet requires a catalog table (path-only parquet loses the bucket
+    spec), so the frame is registered under a per-run temp name pointing
+    at the same temp dir; the bucket count follows the session's shuffle
+    partitioning so join co-partitioning lines up.
     """
     state: dict = {"dir": None, "seq": 0}
 
-    def barrier(df: DataFrame, name: str = "stage") -> DataFrame:
+    def barrier(
+        df: DataFrame, name: str = "stage", bucket_by: str | None = None
+    ) -> DataFrame:
         if state["dir"] is None:
             state["dir"] = tempfile.mkdtemp(prefix="ufo_dedup_barriers_")
             atexit.register(shutil.rmtree, state["dir"], ignore_errors=True)
         state["seq"] += 1
         path = os.path.join(state["dir"], f"{state['seq']:02d}_{name}")
-        df.write.parquet(path)
-        return spark.read.parquet(path)
+        if bucket_by is None:
+            df.write.parquet(path)
+            return spark.read.parquet(path)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tbl = f"ufo_dedup_barrier_{name}_{uuid.uuid4().hex[:10]}"
+        # repartition to the bucket layout first so each write task holds
+        # exactly one bucket's rows (one file per bucket; the read side
+        # then gets per-bucket sorted splits and plans no sort either)
+        (
+            df.repartition(n, bucket_by)
+            .write.bucketBy(n, bucket_by)
+            .sortBy(bucket_by)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        return spark.table(tbl)
 
     return barrier
 
@@ -541,12 +590,22 @@ def verify_candidate_pairs(
     # produced exactly fam_text._t for members, NULL otherwise), the text
     # bound stays family-sized, and the subtree is planned once per pair
     # side instead of once per doc side.
-    a = prepped.select(
+    side = prepped
+    if cfg.verify_prune_sides:
+        # candidate-touched prune (sparse-duplicate corpora): ship 8-byte
+        # ids once so the token payload is only exchanged for docs that
+        # appear in >= 1 candidate pair. Inner-join semantics make this a
+        # no-op on the output.
+        touched = cands.select(F.col("id_a").alias("id")).unionByName(
+            cands.select(F.col("id_b").alias("id"))
+        )
+        side = prepped.join(touched, "id", "left_semi")
+    a = side.select(
         F.col("id").alias("id_a"),
         F.col("_tok").alias("_tok_a"), F.col("_n").alias("_na"),
         F.col("_pk").alias("_pka"),
     )
-    b = prepped.select(
+    b = side.select(
         F.col("id").alias("id_b"),
         F.col("_tok").alias("_tok_b"), F.col("_n").alias("_nb"),
         F.col("_pk").alias("_pkb"),
@@ -784,8 +843,21 @@ def run_pipeline(
         f_tokens = ex.submit(
             _in_pool,
             "tokens",
+            # parquet-barrier (multi-JVM) runs write doc_tokens BUCKETED
+            # by id: both verify joins then read the token table already
+            # co-partitioned on the join key — the two per-side exchanges
+            # (+ sorts) of the token payload disappear, which was the
+            # worst-scaling phase across separate executor JVMs
+            # (SCALING_r06_lc4: verify 0.36 efficiency on a 4x grant).
+            # Single-JVM block barriers are unchanged.
             lambda: (
-                barrier(prepare_tokens(docs), "doc_tokens")
+                barrier(
+                    prepare_tokens(docs),
+                    "doc_tokens",
+                    bucket_by=(
+                        "id" if cfg.tokens_barrier_bucketed else None
+                    ),
+                )
                 if barrier is not None
                 else prepare_tokens(docs).localCheckpoint(
                     eager=True, storageLevel=barrier_level

@@ -1776,6 +1776,18 @@ def simhash_null_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_sig_contract",
+    # ASCII-DATA ASSUMPTION (shared with simhash_null_contract): the
+    # oracle's tokenless test uses RE2 \s (ASCII whitespace), while the
+    # kernel's NULL-signature condition comes from Python str.split()
+    # (Unicode whitespace). A document consisting solely of non-ASCII
+    # whitespace (NBSP U+00A0, ideographic space U+3000, ...) would get a
+    # NULL signature from the engine but count as non-tokenless in the
+    # oracle. The driver testdata synthesizes pure-ASCII whitespace, so
+    # the contracts agree; if testdata ever grows Unicode-whitespace-only
+    # docs, widen the oracle's class (e.g. regexp_replace(text,
+    # '[\s\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\u0085]+',
+    # '', 'g')). NOTE the oracle TEXT itself is fingerprint-frozen across
+    # optimization rounds — this caveat intentionally lives outside it.
     # The SQL-expressible contract of the MinHash surface (the permutation
     # VALUES are M61 modular arithmetic no SQL engine reproduces; those are
     # pinned exact-value by tests/test_hashing.py). Four invariants a SQL
