@@ -138,6 +138,7 @@ def connected_components(
     # high rather than 0.
     skew_degree_cutoff: int = 5_000_000,
     stats: dict | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (id, cluster_id = component min id).
 
@@ -155,6 +156,13 @@ def connected_components(
     run, 'converged': bool, 'entry_edges': symmetrized distinct edge count,
     'final_edges': edge count at exit} — the per-round cost diagnostic for
     large runs.
+
+    ``edges_distinct=True`` promises the caller's (id_a, id_b) list is
+    already one row per undirected pair (the pipeline's pair tables are,
+    by construction) and skips the entry distinct — one exchange of the
+    full edge list saved. Correctness does not depend on the promise
+    (every star round distincts its output); a duplicated input would
+    only inflate round-1 work and the entry_edges stat.
 
     Round materialization rides the convergence-check job: each round ends
     in a LAZY localCheckpoint — the logical plan truncates immediately
@@ -221,14 +229,22 @@ def connected_components(
     saved_conf = spark.conf.get("spark.sql.shuffle.partitions")
     saved_parts = int(saved_conf)
     try:
-        # caller input may contain duplicates -> one distinct at entry;
-        # every later symmetrization is a free union of a distinct star
-        # output
-        nbr = (
-            _both_dirs(uv.filter(F.col("u") != F.col("v")).distinct())
-            .localCheckpoint(eager=False)
-        )
-        fp, max_deg = _fingerprint(nbr, True)  # materializes nbr
+        # caller input may contain duplicates -> one distinct at entry
+        # (skipped under the edges_distinct promise); every later
+        # symmetrization is a free union of a distinct star output
+        uv = uv.filter(F.col("u") != F.col("v"))
+        if not edges_distinct:
+            uv = uv.distinct()
+        nbr = _both_dirs(uv).localCheckpoint(eager=False)
+        # entry fingerprint WITHOUT the per-u degree pre-aggregation: a
+        # neighborhood can never exceed the total (symmetrized) edge
+        # count, so when that count is at or under the skew cutoff no
+        # degree can trip it — the groupBy exchange would be pure cost.
+        # Giant graphs (count above the cutoff) pay one extra degree job
+        # over the already-materialized nbr.
+        fp, max_deg = _fingerprint(nbr, False)  # materializes nbr
+        if fp[0] > skew_degree_cutoff:
+            _, max_deg = _fingerprint(nbr, True)
         if stats is not None:
             stats["entry_edges"] = fp[0]
             stats["rounds"] = 0

@@ -910,6 +910,9 @@ def run_pipeline(
             ),
             max_iter=cfg.cheap_cc_max_iter,
             stats=cc_stats,
+            # verified is one row per pair (candidate groupBy) -> skip the
+            # entry distinct exchange
+            edges_distinct=True,
         ).localCheckpoint(eager=True)
         _mark("cheap_cc", _t)
         if timings is not None:
@@ -946,7 +949,9 @@ def run_pipeline(
     )
     final_cc_stats: dict = {}
     cc = connected_components(
-        edges.select("id_a", "id_b"), stats=final_cc_stats
+        edges.select("id_a", "id_b"), stats=final_cc_stats,
+        # pairs is one row per pair (first_wins) -> skip the entry distinct
+        edges_distinct=True,
     )
     _mark("substring_pairs_and_cc_rounds", _t)
     if timings is not None:
@@ -1026,6 +1031,7 @@ def run_pipeline_checkpointed(
                     "id_a", "id_b"
                 ),
                 max_iter=cfg.cheap_cc_max_iter,
+                edges_distinct=True,
             ),
         )
         sub = mgr.stage(
@@ -1052,7 +1058,9 @@ def run_pipeline_checkpointed(
             (F.col("score") >= cfg.cluster_threshold)
             | (F.col("method") == "substring")
         )
-        cc = connected_components(edges.select("id_a", "id_b"))
+        cc = connected_components(
+            edges.select("id_a", "id_b"), edges_distinct=True
+        )
         return (
             docs.select("id", "url")
             .join(cc, on="id", how="left")

@@ -963,7 +963,9 @@ def doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id_a", "id_b"
     )
-    return connected_components(edges)
+    # blocking pairs are structurally one row per pair -> the entry
+    # distinct exchange is skipped (output unaffected either way)
+    return connected_components(edges, edges_distinct=True)
 
 
 @register(

@@ -149,7 +149,16 @@ def build_session(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # SPARK_GRAFT_BROADCAST_THRESHOLD: job-level override (bytes or
+        # Spark size string). Scale probes use it to put moderate-sized
+        # runs into the beyond-broadcast join regime that multi-million-
+        # doc corpora reach naturally; unset = the engine default.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024)
+            ),
+        )
         # single-JVM local mode: the driver heap IS the executor heap, so
         # size it for the concurrent-task count, not a fixed number — at 32
         # tasks an 8g heap leaves ~150MB of unified memory per task and the
