@@ -616,18 +616,28 @@ def verify_candidate_pairs(
     fam_b = fam_text.select(
         F.col("id").alias("id_b"), F.col("_t").alias("_tb")
     )
-    j = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .join(fam_a, "id_a", "left")
-        .join(fam_b, "id_b", "left")
-    )
-
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
     union = F.col("_na") + F.col("_nb") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )
+    # Jaccard is computed AT the token join and the token arrays are
+    # dropped in the same projection, BEFORE the family-text joins: when
+    # the family is too large to broadcast (a giant boilerplate host),
+    # those joins exchange the pair table — narrowing it first means the
+    # exchanges carry ~40-byte pair rows instead of both token arrays
+    # (which at 8M docs / 11M pairs is tens of GB of array payload through
+    # two extra exchanges, enough to OOM a single-box heap).
+    jscored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", "method",
+            jac.alias("_jac"), "_pka", "_pkb",
+        )
+    )
+    j = jscored.join(fam_a, "id_a", "left").join(fam_b, "id_b", "left")
+
     # eligible (non-NULL equal prefix keys) implies both texts are >=20
     # chars AND family members, so _ta/_tb are non-NULL where it matters
     elig = F.col("_pka").isNotNull() & (F.col("_pka") == F.col("_pkb"))
@@ -635,7 +645,7 @@ def verify_candidate_pairs(
         F.col("_ta").startswith(F.col("_tb"))
         | F.col("_tb").startswith(F.col("_ta"))
     )
-    score = F.when(is_prefix, F.lit(0.95)).otherwise(jac)
+    score = F.when(is_prefix, F.lit(0.95)).otherwise(F.col("_jac"))
 
     scored = j.select(
         "id_a", "id_b", score.alias("score"), "method",
