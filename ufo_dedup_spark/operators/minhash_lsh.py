@@ -63,33 +63,42 @@ def pairs_within_groups(
     the family back for per-family post-filters.
     """
     extra_cols = extra_cols or []
+    gc = [F.col(c) for c in group_cols]
 
-    # ONE hash-agg shuffle: collect each group's members into a sorted
-    # array, then generate pairs with array expressions — replaces the
-    # previous groupBy+join+window formulation that sorted the exploded
-    # table three times (measured 3x faster on the LSH band table).
-    # Memory: one group's members must fit in an aggregation buffer —
-    # fine into the millions of ids; a corpus with pathologically hotter
-    # buckets than that should pre-split them (salt_blocks) first.
-    # cheap codegen'd count-agg first: the overwhelming majority of buckets
-    # are singletons, and feeding them to the object-based collect_list agg
-    # is what dominates (measured ~6x). The multi-member bucket list is tiny
-    # relative to the input, so AQE turns the semi-join into a broadcast.
-    multi = (
+    # ONE cheap codegen'd hash agg sizes every bucket AND captures the
+    # bucket minimum (id + its extra cols, via min/min_by — fixed-width
+    # buffers, so this stays a HashAggregate): the overwhelming majority
+    # of buckets are singletons, and feeding them to the object-based
+    # collect_list agg is what dominates (measured ~6x in r5). The
+    # multi-member bucket list is tiny relative to the input, so AQE
+    # turns the joins below into broadcasts.
+    sizes = (
         df.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.col(id_col)).alias("_min_i"),
+            *[
+                F.min_by(F.col(c), F.col(id_col)).alias(f"_min_{c}")
+                for c in extra_cols
+            ],
+        )
         .filter(F.col("_n") >= 2)
-        .select(*group_cols)
     )
-    members = df.join(multi, on=group_cols, how="left_semi")
 
+    # SMALL buckets (2..cap members): collect each bucket's members into
+    # a sorted array and generate all pairs with array expressions —
+    # replaces the r1 groupBy+join+window formulation that sorted the
+    # exploded table three times (measured 3x faster on the LSH band
+    # table). Arrays here are cap-bounded, so aggregation buffers and the
+    # exploded pair arrays stay small by construction.
+    small_keys = sizes.filter(F.col("_n") <= all_pairs_cap).select(*group_cols)
+    members = df.join(small_keys, on=group_cols, how="left_semi")
     member = F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in extra_cols])
     groups = (
         members.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list(member)).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    n = F.size("xs")
     all_pairs = F.flatten(
         F.transform(
             F.col("xs"),
@@ -99,23 +108,41 @@ def pairs_within_groups(
             ),
         )
     )
-    star = F.transform(
-        F.slice(F.col("xs"), 2, F.size("xs")),
-        lambda y: F.struct(F.col("xs")[0].alias("a"), y.alias("b")),
-    )
-    pairs = groups.select(
-        *([F.col(c) for c in group_cols] if keep_group_cols else []),
-        F.explode(
-            F.when(n <= all_pairs_cap, all_pairs).otherwise(star)
-        ).alias("p"),
-    )
-    return pairs.select(
-        *([F.col(c) for c in group_cols] if keep_group_cols else []),
+    small = groups.select(
+        *(gc if keep_group_cols else []),
+        F.explode(all_pairs).alias("p"),
+    ).select(
+        *(gc if keep_group_cols else []),
         F.col("p.a.i").alias("id_a"),
         F.col("p.b.i").alias("id_b"),
         *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in extra_cols],
         *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in extra_cols],
     )
+
+    # BIG buckets (> cap): a star onto the bucket minimum — generated as
+    # a LINEAR scan joined with the one-row-per-bucket min table, never
+    # collecting members. The previous formulation collected the full
+    # membership array and materialized an (n-1)-element pair array per
+    # bucket before exploding; at a 1.2M-member boilerplate bucket that
+    # is a 30+ MB aggregation row plus a ~50 MB contiguous UnsafeRow
+    # array buffer PER BAND, which OOMed the 8M single-box run. This
+    # path emits the identical pair set (min sorts first, so pairs are
+    # (xs[0], y) exactly) with O(1) per-row memory, and spreads the hot
+    # bucket's pair generation across every partition of the scan
+    # instead of concentrating it in one aggregation task.
+    big = sizes.filter(F.col("_n") > all_pairs_cap).drop("_n")
+    big_pairs = (
+        df.join(big, on=group_cols)
+        .filter(F.col(id_col) != F.col("_min_i"))
+        .select(
+            *(gc if keep_group_cols else []),
+            F.col("_min_i").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_min_{c}").alias(f"{c}_a") for c in extra_cols],
+            *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+        )
+    )
+    return small.unionByName(big_pairs)
 
 
 def lsh_candidate_pairs(
