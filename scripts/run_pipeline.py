@@ -35,9 +35,18 @@ def main():
                     help="override PipelineConfig.tokens_barrier_bucketed "
                          "(parquet-barrier runs only) for the bucketed "
                          "doc_tokens A/B")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="extra Spark conf for this run (repeatable), e.g. "
+                         "--conf spark.io.compression.codec=zstd for "
+                         "disk-tight endurance legs")
     args = ap.parse_args()
 
-    spark = build_session(app_name="run-pipeline", master=args.master)
+    extra_conf = dict(kv.split("=", 1) for kv in args.conf)
+    spark = build_session(
+        app_name="run-pipeline", master=args.master,
+        extra_conf=extra_conf or None,
+    )
     pages, truth_pairs, truth_clusters = corpus_dataframes(
         spark, SynthConfig(n_docs=args.rows, seed=args.seed)
     )
