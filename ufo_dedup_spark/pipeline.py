@@ -835,14 +835,19 @@ def run_pipeline(
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
             _mark(f"branch_{pool}", t0)
 
-    # max_workers=2: the signature and winnow branches are both Arrow/
-    # pandas-UDF heavy (each stage spawns one Python worker per core);
-    # running all three branches at once triples the worker fleet and
-    # thrashes memory bandwidth at high core counts. Two at a time still
-    # hides the fixed latency (the JVM-only token branch overlaps the
-    # signature UDFs; winnow starts as soon as one finishes).
+    # Branch-pool width is SCALE-ADAPTIVE (reusing the corpus-size signal
+    # that already drives barrier storage): small corpora run all three
+    # branches at once — the phases are latency-bound there and a 3-wide
+    # pool measured consistently faster at 20k docs (alternating A/B,
+    # adjacent pairs 23.4/18.1, 17.4/15.5, 15.4/15.0 s for 2 vs 3).
+    # Large corpora keep 2: the signature and winnow branches are both
+    # Arrow/pandas-UDF heavy (each stage spawns one Python worker per
+    # core), and at memory-bandwidth-bound multi-million-doc scale
+    # running all three at once triples the worker fleet and thrashes
+    # the bus (r5 measurement). Two at a time still hides the fixed
+    # latency (the JVM-only token branch overlaps the signature UDFs).
     _t_block = time.time()
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=2 if disk else 3) as ex:
         f_cands = ex.submit(
             _in_pool,
             "signatures",
